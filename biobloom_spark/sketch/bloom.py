@@ -1,0 +1,192 @@
+"""Mergeable Bloom filter sketch (the engine's core state).
+
+Re-implements, from the published formulas, the semantics of the reference's
+Bloom layer:
+
+- sizing: ``m = -n*h / ln(1 - p^(1/h))`` rounded up to a multiple of 64
+  (/root/reference/Common/BloomFilterInfo.h:57-65)
+- optimal hash count: ``h = floor(-ln(p)/ln 2)``
+  (/root/reference/Common/BloomFilterInfo.h:73-76)
+- achieved FPR: ``(1 - (1 - 1/m)^(n*h))^h``
+  (/root/reference/Common/BloomFilterInfo.cpp:172-178)
+- redundancy FPR: mean incremental FPR over inserts
+  (/root/reference/Common/BloomFilterInfo.cpp:183-204)
+- insertAndCheck semantics: count of already-present items
+  (/root/reference/BioBloomMaker/BloomFilterGenerator.h:170-188)
+
+State is a numpy ``uint8`` byte array of ``m/8`` bytes; merge is associative,
+commutative, idempotent bitwise OR — the property that makes distributed
+partial-build + tree-merge correct (/root/reference's multi-file insert loop,
+BloomFilterGenerator.h:145-186, is the single-node special case).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .hashing import bloom_indices
+
+__all__ = [
+    "optimal_hash_num",
+    "optimal_size_bits",
+    "approx_fpr",
+    "BloomSketch",
+]
+
+
+def optimal_hash_num(fpr: float) -> int:
+    """floor(-ln p / ln 2), min 1 (BloomFilterInfo.h:73-76)."""
+    return max(1, int(-math.log(fpr) / math.log(2)))
+
+
+def optimal_size_bits(n_entries: int, fpr: float, num_hashes: int) -> int:
+    """m = ceil(-n*h / ln(1 - p^(1/h))), rounded up to x64.
+
+    (BloomFilterInfo.h:57-65: ``-double(entries) * hashNum /
+    log(1 - pow(fpr, 1/hashNum))``, +63 then /64*64.)
+    """
+    n = max(1, int(n_entries))
+    m = -float(n) * num_hashes / math.log(1.0 - fpr ** (1.0 / num_hashes))
+    m = int(math.ceil(m))
+    return ((m + 63) // 64) * 64
+
+
+def approx_fpr(m_bits: int, n_entries: int, num_hashes: int) -> float:
+    """(1 - (1 - 1/m)^(h*n))^h (BloomFilterInfo.cpp:172-178)."""
+    if m_bits <= 0:
+        return 1.0
+    # use expm1/log1p form for numerical stability at large m
+    load = math.exp(num_hashes * n_entries * math.log1p(-1.0 / m_bits))
+    return (1.0 - load) ** num_hashes
+
+
+@dataclass
+class BloomSketch:
+    """Fixed-parameter Bloom filter with batch insert/contains and OR-merge."""
+
+    m_bits: int
+    num_hashes: int
+    bits: np.ndarray = field(default=None)  # uint8[m_bits/8]
+    n_inserted: int = 0  # frames inserted (incl. duplicates)
+    n_new: int = 0  # insertAndCheck "was absent" count → totalEntries
+    n_redundant: int = 0  # insertAndCheck "already present" → redundancy
+
+    def __post_init__(self) -> None:
+        if self.m_bits % 64:
+            raise ValueError("m_bits must be a multiple of 64")
+        if self.bits is None:
+            self.bits = np.zeros(self.m_bits // 8, dtype=np.uint8)
+        else:
+            self.bits = np.asarray(self.bits, dtype=np.uint8)
+            if self.bits.shape[0] != self.m_bits // 8:
+                raise ValueError("bitmap length does not match m_bits")
+
+    # -- construction -----------------------------------------------------
+    @classmethod
+    def for_capacity(cls, n_entries: int, fpr: float, num_hashes: int | None = None) -> "BloomSketch":
+        h = num_hashes if num_hashes is not None else optimal_hash_num(fpr)
+        return cls(m_bits=optimal_size_bits(n_entries, fpr, h), num_hashes=h)
+
+    # -- update -----------------------------------------------------------
+    def update_batch(self, hashes: np.ndarray) -> int:
+        """Insert a batch of 64-bit frame hashes; returns # already present.
+
+        Mirrors insertAndCheck (BloomFilterGenerator.h:170-178): an item is
+        "redundant" iff all h bits were already set before this insert.
+        Duplicate items *within* the batch are resolved sequentially-exactly
+        by a first-occurrence pass (np.unique), matching scan-order behavior.
+        """
+        if hashes.size == 0:
+            return 0
+        # first occurrences: a repeated hash within the batch is redundant
+        uniq = np.unique(hashes)
+        idx = bloom_indices(uniq, self.num_hashes, self.m_bits)  # (h, u)
+        byte_i = (idx >> np.uint64(3)).astype(np.int64)
+        bit_m = (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+        pre = (self.bits[byte_i] & bit_m) != 0  # (h, u) were-set flags
+        present = pre.all(axis=0)
+        np.bitwise_or.at(self.bits, byte_i.ravel(), bit_m.ravel())
+        n_uniq_new = int((~present).sum())
+        n_red = int(hashes.size - n_uniq_new)
+        self.n_inserted += int(hashes.size)
+        self.n_new += n_uniq_new
+        self.n_redundant += n_red
+        return n_red
+
+    # -- query ------------------------------------------------------------
+    def contains_batch(self, hashes: np.ndarray) -> np.ndarray:
+        """Vectorized membership: bool array, True iff all h bits set
+        (contains call sites /root/reference/Common/SeqEval.h:54,79,158)."""
+        if hashes.size == 0:
+            return np.zeros(0, dtype=bool)
+        idx = bloom_indices(hashes, self.num_hashes, self.m_bits)
+        byte_i = (idx >> np.uint64(3)).astype(np.int64)
+        bit_m = (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+        return ((self.bits[byte_i] & bit_m) != 0).all(axis=0)
+
+    # -- merge ------------------------------------------------------------
+    def merge(self, other: "BloomSketch") -> "BloomSketch":
+        """Associative/commutative/idempotent OR-merge; counters add.
+
+        NOTE merged ``n_new``/``n_redundant`` are scan-order artifacts (a
+        frame first-seen in two partitions counts "new" twice) — exactly the
+        delta documented in SURVEY.md §7.4; pair with an HLL for exact-ish
+        distinct counts. ``popcount``-derived stats stay exact.
+        """
+        if (self.m_bits, self.num_hashes) != (other.m_bits, other.num_hashes):
+            raise ValueError("cannot merge Bloom sketches with different params")
+        return BloomSketch(
+            m_bits=self.m_bits,
+            num_hashes=self.num_hashes,
+            bits=np.bitwise_or(self.bits, other.bits),
+            n_inserted=self.n_inserted + other.n_inserted,
+            n_new=self.n_new + other.n_new,
+            n_redundant=self.n_redundant + other.n_redundant,
+        )
+
+    # -- stats ------------------------------------------------------------
+    def popcount(self) -> int:
+        return int(np.unpackbits(self.bits).sum())
+
+    def occupancy(self) -> float:
+        return self.popcount() / self.m_bits
+
+    def fpr_from_occupancy(self) -> float:
+        """Exact current FPR given observed bit occupancy: (set/m)^h."""
+        return self.occupancy() ** self.num_hashes
+
+    def approx_fpr(self) -> float:
+        """Reference's formula on the merged new-entry count."""
+        return approx_fpr(self.m_bits, self.n_new, self.num_hashes)
+
+    def redundancy_fpr(self, n_entries: int | None = None) -> float:
+        """Mean incremental FPR over n inserts (BloomFilterInfo.cpp:183-204):
+        average of approx_fpr(i) for i=1..n, computed by trapezoidal
+        integral approximation (reference iterates; closed loop is O(n))."""
+        n = self.n_new if n_entries is None else n_entries
+        if n <= 0:
+            return 0.0
+        steps = min(n, 1024)
+        xs = np.linspace(1, n, steps)
+        vals = [approx_fpr(self.m_bits, int(x), self.num_hashes) for x in xs]
+        return float(np.mean(vals))
+
+    # -- serde ------------------------------------------------------------
+    def serialize(self) -> bytes:
+        """Raw little-endian bit dump, the analog of the ``.bf`` file whose
+        size equals the 64-rounded bit array (Tests/BloomFilterTests.cpp:67-78);
+        metadata travels separately (registry struct, BloomFilterInfo analog).
+        """
+        return self.bits.tobytes()
+
+    @classmethod
+    def deserialize(cls, payload: bytes, m_bits: int, num_hashes: int, **counters) -> "BloomSketch":
+        return cls(
+            m_bits=m_bits,
+            num_hashes=num_hashes,
+            bits=np.frombuffer(payload, dtype=np.uint8).copy(),
+            **counters,
+        )
