@@ -1,0 +1,96 @@
+"""Engine configuration dataclasses with the reference's defaults.
+
+Defaults traced to the reference CLI/options:
+- max FPR 0.0078125 (/root/reference/Common/Options.cpp:26)
+- optimal hash count derived when unset
+  (/root/reference/BioBloomMaker/BioBloomMaker.cpp:361-373)
+- k-mer size 25 (/root/reference/Common/Options.cpp:31) → token shingle
+  width 3 here (webtext re-targeting; ~25 chars of text)
+- score threshold 0.15 (/root/reference/BioBloomCategorizer/Options.cpp:15)
+- binomial score 100 → minFPR 1e-10
+  (/root/reference/BioBloomCategorizer/BioBloomCategorizer.cpp:168,419-421)
+- streak threshold 3 (/root/reference/Common/Options.cpp:9)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+DEFAULT_FPR = 0.0078125
+DEFAULT_SHINGLE_W = 3
+DEFAULT_SCORE_THRESHOLD = 0.15
+DEFAULT_BINOMIAL_MIN_FPR = 1e-10
+DEFAULT_STREAK_THRESHOLD = 3
+
+#: scoring methods, mirroring opt::scoringMethod
+#: (/root/reference/Common/Options.h:35)
+SCORING_METHODS = ("simple", "harmonic", "binomial", "minmatchlen")
+
+#: classification modes (/root/reference/BioBloomCategorizer dispatch,
+#: BioBloomClassifier.h:531-555)
+CLASSIFY_MODES = ("std", "ordered", "besthit", "scores")
+
+#: reserved assignment labels (ResultsManager.hpp:41-89)
+NO_MATCH = "noMatch"
+MULTI_MATCH = "multiMatch"
+
+
+@dataclass(frozen=True)
+class BloomParams:
+    """Filter construction parameters (BloomFilterInfo [user_input_options]
+    analog, /root/reference/Common/BloomFilterInfo.cpp:81-116)."""
+
+    fpr: float = DEFAULT_FPR
+    num_hashes: int | None = None  # None → optimal for fpr
+    shingle_w: int = DEFAULT_SHINGLE_W
+    #: hard cap on a single filter's bit size (broadcast budget guard;
+    #: 2^33 bits = 1 GiB bitmap)
+    max_bits: int = 1 << 33
+
+
+@dataclass(frozen=True)
+class ScoringConfig:
+    """Categorizer scoring semantics (SeqEval kernel selection)."""
+
+    method: str = "simple"  # simple | harmonic | binomial | minmatchlen
+    threshold: float = DEFAULT_SCORE_THRESHOLD  # normalized score in [0,1]
+    min_fpr: float = DEFAULT_BINOMIAL_MIN_FPR  # binomial significance
+    min_match_len: int = 0  # minmatchlen: tokens a run must cover
+    streak_threshold: int = DEFAULT_STREAK_THRESHOLD
+    #: replicate the reference's skip-ahead-on-miss heuristic
+    #: (SeqEval.h:94-110) instead of exhaustive scoring
+    reference_skip_mode: bool = False
+    dust: bool = False  # mask low-complexity shingles (sdust analog)
+    dust_min_distinct: int = 2
+
+    def __post_init__(self) -> None:
+        if self.method not in SCORING_METHODS:
+            raise ValueError(f"unknown scoring method {self.method!r}")
+
+
+@dataclass(frozen=True)
+class CategorizerConfig:
+    """Classification-mode config (mode dispatch BioBloomClassifier.h:531-555,
+    pair combine ResultsManager.hpp:91-189)."""
+
+    mode: str = "std"  # std | ordered | besthit | scores
+    scoring: ScoringConfig = field(default_factory=ScoringConfig)
+    inclusive_pairs: bool = False  # -i: OR pair combine instead of AND
+    ordered_filters: tuple[str, ...] = ()  # ordered mode priority list
+
+    def __post_init__(self) -> None:
+        if self.mode not in CLASSIFY_MODES:
+            raise ValueError(f"unknown classify mode {self.mode!r}")
+
+
+@dataclass(frozen=True)
+class BuildConfig:
+    """Distributed build layout knobs (scale path)."""
+
+    #: shuffle buckets per filter key — partial sketches per key; sized so a
+    #: bucket's shingles fit executor memory at target SF
+    num_buckets: int = 32
+    #: two-level merge fan-in (bucket partials → g groups → final)
+    merge_groups: int = 8
+    #: write per-bucket lineage rows for resume
+    checkpoint: bool = True

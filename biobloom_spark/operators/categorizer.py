@@ -1,0 +1,254 @@
+"""Multi-filter classification — the BioBloomCategorizer job, Spark-native.
+
+Reference lifecycle (/root/reference/BioBloomCategorizer/
+BioBloomCategorizer.cpp:145-532, traced in SURVEY.md §3.2): load all
+filters into shared memory, stream reads, score each read against each
+filter (SeqEval kernels), assign {filterID | multiMatch | noMatch}
+(ResultsManager.hpp:41-89), demultiplex to per-category outputs and a
+summary TSV.
+
+Spark shape: the filter registry is a *broadcast* (small build side of a
+broadcast nested-loop "join", SURVEY.md §2.3-J1); scoring is a single
+``mapInPandas`` pass — fully map-side, zero shuffle; the only shuffles are
+the optional demultiplexed write (dynamic partition write) and the summary
+aggregation (partial map-side combine).  At 100 TB this plan moves the
+documents exactly once and all state is broadcast-sized.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import MULTI_MATCH, NO_MATCH, CategorizerConfig
+from ..functions.text import dust_mask, tokenize
+from ..sketch import BloomSketch, hash_tokens, shingle_hashes
+from .scoring import SegmentedBatch, score_batch
+
+__all__ = ["categorize", "categorize_pairs", "summarize", "write_demultiplexed"]
+
+
+def _result_schema(id_field: T.StructField) -> T.StructType:
+    return T.StructType(
+        [
+            id_field,
+            T.StructField("n_frames", T.LongType(), False),
+            T.StructField("scores", T.ArrayType(T.DoubleType()), False),
+            T.StructField("hits", T.ArrayType(T.StringType()), False),
+            T.StructField("assigned", T.StringType(), False),
+            T.StructField("best_score", T.DoubleType(), False),
+        ]
+    )
+
+
+def _score_texts(texts: np.ndarray, filters: list[dict], cfg: CategorizerConfig):
+    """One Arrow batch → (n_frames, scores[n_docs,n_filters], matches[...])."""
+    w = filters[0]["shingle_w"]
+    scoring = cfg.scoring
+    cache: dict = {}
+    arrays, masks = [], []
+    for text in texts:
+        toks = tokenize(text or "")
+        arrays.append(shingle_hashes(hash_tokens(toks, cache), w))
+        if scoring.dust:
+            masks.append(dust_mask(toks, w, scoring.dust_min_distinct))
+    batch = SegmentedBatch.from_hash_arrays(arrays, masks if scoring.dust else None)
+    n_docs = batch.n_docs
+    scores = np.zeros((n_docs, len(filters)))
+    matches = np.zeros((n_docs, len(filters)), dtype=bool)
+    for j, flt in enumerate(filters):
+        bloom = BloomSketch.deserialize(flt["bitmap"], flt["m_bits"], flt["num_hashes"])
+        hit = bloom.contains_batch(batch.hashes)
+        if batch.mask is not None and hit.size:
+            hit &= ~batch.mask  # dust-masked frames are non-hits (SeqEval.h:496-508)
+        s, m = score_batch(hit, batch, scoring, flt["fpr"], w)
+        scores[:, j] = s
+        matches[:, j] = m
+    return batch.frames(), scores, matches
+
+
+def _assign(scores: np.ndarray, matches: np.ndarray, filter_ids: list[str], cfg: CategorizerConfig):
+    """Per-doc (hits list, assigned label, best score) under the mode
+    semantics of BioBloomClassifier.h:531-555 / ResultsManager.hpp:41-89."""
+    n_docs = scores.shape[0]
+    hits_out: list[list[str]] = []
+    assigned = np.empty(n_docs, dtype=object)
+    best = scores.max(axis=1) if scores.size else np.zeros(n_docs)
+    if cfg.mode == "ordered":
+        order = [filter_ids.index(f) for f in (cfg.ordered_filters or filter_ids)]
+    for i in range(n_docs):
+        if cfg.mode in ("std", "scores"):
+            h = [filter_ids[j] for j in np.flatnonzero(matches[i])]
+        elif cfg.mode == "ordered":
+            # first passing filter in priority order wins
+            # (BioBloomClassifier.cpp:1145-1153)
+            h = []
+            for j in order:
+                if matches[i, j]:
+                    h = [filter_ids[j]]
+                    break
+        elif cfg.mode == "besthit":
+            # no threshold; argmax of exhaustive score, ties → all tied
+            # (BioBloomClassifier.cpp:1194-1218)
+            if best[i] > 0.0:
+                h = [filter_ids[j] for j in np.flatnonzero(scores[i] == best[i])]
+            else:
+                h = []
+        else:  # pragma: no cover
+            raise ValueError(cfg.mode)
+        hits_out.append(h)
+        assigned[i] = NO_MATCH if not h else (h[0] if len(h) == 1 else MULTI_MATCH)
+    return hits_out, assigned, best
+
+
+def categorize(
+    spark: SparkSession,
+    docs: DataFrame,
+    filters: list[dict],
+    cfg: CategorizerConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score + classify every document against every filter.
+
+    ``filters`` is ``maker.load_registry(...)`` output (order = priority
+    order for ordered mode).  Returns (id, n_frames, scores, hits,
+    assigned, best_score); join back to the input on ``id_col`` for
+    pass-through columns (scoring itself never shuffles the corpus).
+    """
+    from ..session import ensure_workers
+
+    ensure_workers(spark)
+    cfg = cfg or CategorizerConfig()
+    filter_ids = [f["filter_id"] for f in filters]
+    bc = spark.sparkContext.broadcast(filters)
+    id_field = docs.schema[id_col]
+    schema = _result_schema(id_field)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        flts = bc.value
+        for pdf in batches:
+            texts = pdf[text_col].to_numpy()
+            frames, scores, matches = _score_texts(texts, flts, cfg)
+            hits, assigned, best = _assign(scores, matches, filter_ids, cfg)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "n_frames": frames,
+                    "scores": list(scores),
+                    "hits": hits,
+                    "assigned": assigned,
+                    "best_score": best,
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
+def categorize_pairs(
+    spark: SparkSession,
+    docs: DataFrame,
+    filters: list[dict],
+    cfg: CategorizerConfig | None = None,
+    id_col: str = "doc_id",
+    text1_col: str = "text1",
+    text2_col: str = "text2",
+) -> DataFrame:
+    """Paired classification: both mates scored, hit sets combined.
+
+    Default AND combine — a pair hits a filter iff *both* sides hit
+    (ResultsManager.hpp:153-175); ``cfg.inclusive_pairs`` switches to OR
+    (``-i``, ResultsManager.hpp:95-152).  Pair score = mean of side scores
+    (used only for besthit ranking).
+    """
+    from ..session import ensure_workers
+
+    ensure_workers(spark)
+    cfg = cfg or CategorizerConfig()
+    filter_ids = [f["filter_id"] for f in filters]
+    bc = spark.sparkContext.broadcast(filters)
+    id_field = docs.schema[id_col]
+    schema = _result_schema(id_field)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        flts = bc.value
+        for pdf in batches:
+            f1, s1, m1 = _score_texts(pdf[text1_col].to_numpy(), flts, cfg)
+            f2, s2, m2 = _score_texts(pdf[text2_col].to_numpy(), flts, cfg)
+            matches = (m1 | m2) if cfg.inclusive_pairs else (m1 & m2)
+            scores = (s1 + s2) / 2.0
+            hits, assigned, best = _assign(scores, matches, filter_ids, cfg)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "n_frames": f1 + f2,
+                    "scores": list(scores),
+                    "hits": hits,
+                    "assigned": assigned,
+                    "best_score": best,
+                }
+            )
+
+    return docs.select(id_col, text1_col, text2_col).mapInPandas(run, schema=schema)
+
+
+def summarize(result: DataFrame, filter_ids: list[str]) -> DataFrame:
+    """Per-filter summary counters — the ``_summary.tsv`` sink
+    (ResultsManager.hpp:191-237; column semantics README.md:149-155).
+
+    Rows: one per filter + ``multiMatch`` + ``noMatch``.  ``hits`` =
+    documents above threshold for that filter (shared counted per filter),
+    ``unique`` = sole-filter hits, ``shared`` = hits - unique; rates over
+    the total document count.  One aggregation, map-side partial.
+    """
+    aggs = [F.count(F.lit(1)).alias("total")]
+    for fid in filter_ids:
+        aggs.append(
+            F.sum(F.array_contains("hits", fid).cast("long")).alias(f"hits_{fid}")
+        )
+        aggs.append(
+            F.sum((F.col("assigned") == fid).cast("long")).alias(f"unique_{fid}")
+        )
+    aggs.append(F.sum((F.col("assigned") == MULTI_MATCH).cast("long")).alias("multi"))
+    aggs.append(F.sum((F.col("assigned") == NO_MATCH).cast("long")).alias("nomatch"))
+    g = result.agg(*aggs).collect()[0]
+    total = g["total"] or 1
+    rows = []
+    for fid in filter_ids:
+        hits, uniq = int(g[f"hits_{fid}"] or 0), int(g[f"unique_{fid}"] or 0)
+        rows.append((fid, hits, uniq, hits - uniq, hits / total, uniq / total, (hits - uniq) / total))
+    rows.append((MULTI_MATCH, int(g["multi"]), int(g["multi"]), 0, g["multi"] / total, g["multi"] / total, 0.0))
+    rows.append((NO_MATCH, int(g["nomatch"]), int(g["nomatch"]), 0, g["nomatch"] / total, g["nomatch"] / total, 0.0))
+    spark = result.sparkSession
+    return spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("filter_id", T.StringType(), False),
+                T.StructField("hits", T.LongType(), False),
+                T.StructField("unique", T.LongType(), False),
+                T.StructField("shared", T.LongType(), False),
+                T.StructField("rate_hit", T.DoubleType(), False),
+                T.StructField("rate_unique", T.DoubleType(), False),
+                T.StructField("rate_shared", T.DoubleType(), False),
+            ]
+        ),
+    )
+
+
+def write_demultiplexed(result: DataFrame, docs: DataFrame, path: str,
+                        id_col: str = "doc_id", fmt: str = "parquet") -> None:
+    """Demultiplexed sink — one output partition per assigned category
+    (the per-filter/ noMatch/ multiMatch output files of
+    BioBloomClassifier.cpp:108-210, as a dynamic partition write)."""
+    joined = docs.join(result.select(id_col, "assigned"), on=id_col)
+    w = joined.write.mode("overwrite").partitionBy("assigned")
+    if fmt == "parquet":
+        w.parquet(path)
+    else:
+        w.format(fmt).save(path)

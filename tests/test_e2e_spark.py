@@ -1,0 +1,226 @@
+"""End-to-end Spark tests: maker → registry → categorizer → summary.
+
+The exact-set oracle the reference never had (SURVEY.md §5(f)): at small
+scale we can compute true shingle membership and verify classification
+decisions and the engine's hard invariants:
+- no false negatives: every training doc must hit its own filter (Bloom
+  never drops an inserted frame);
+- partition-invariance: bitmaps identical across bucket counts;
+- resumability: a second build with a partials checkpoint reuses partials.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from biobloom_spark.config import BloomParams, BuildConfig, CategorizerConfig, ScoringConfig
+from biobloom_spark.corpus import generate_corpus, generate_corpus_pandas
+from biobloom_spark.operators.categorizer import (
+    categorize,
+    categorize_pairs,
+    summarize,
+    write_demultiplexed,
+)
+from biobloom_spark.operators.maker import build_filters, load_registry, size_filters
+
+LANGS = ("en", "de", "fr")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = generate_corpus(
+        spark, 400, seed=11, langs=LANGS, shared_frac=0.15, mean_tokens=80, num_partitions=4
+    ).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def registry(spark, corpus):
+    reg = build_filters(
+        spark,
+        corpus,
+        key_col="lang",
+        text_col="text",
+        id_col="url",
+        params=BloomParams(),
+        build=BuildConfig(num_buckets=8, merge_groups=4),
+    )
+    return load_registry(reg)
+
+
+class TestMaker:
+    def test_sizing_prepass_matches_reference_formula(self, spark, corpus):
+        sizing = size_filters(corpus, "lang", "text", BloomParams())
+        assert set(sizing) == set(LANGS)
+        for meta in sizing.values():
+            assert meta["m_bits"] % 64 == 0
+            assert meta["num_hashes"] == 7  # optimal for 0.0078125
+            assert meta["expected_entries"] > 0
+
+    def test_registry_contents(self, registry):
+        assert sorted(f["filter_id"] for f in registry) == sorted(LANGS)
+        for f in registry:
+            assert len(f["bitmap"]) == f["m_bits"] // 8
+            # built filter must meet the configured FPR bound
+            assert f["fpr"] <= f["target_fpr"] * 1.5
+
+    def test_bitmap_partition_invariance(self, spark, corpus):
+        """OR-merge associativity end-to-end: 1 bucket vs 8 buckets vs 3
+        merge-groups must produce byte-identical bitmaps."""
+        cfgs = [BuildConfig(num_buckets=1, merge_groups=1),
+                BuildConfig(num_buckets=8, merge_groups=3)]
+        maps = []
+        for b in cfgs:
+            reg = load_registry(
+                build_filters(spark, corpus, id_col="url", build=b, keys=["en", "de"])
+            )
+            maps.append({f["filter_id"]: f["bitmap"] for f in reg})
+        assert maps[0].keys() == maps[1].keys()
+        for k in maps[0]:
+            assert maps[0][k] == maps[1][k], f"bitmap differs for {k}"
+
+    def test_resume_from_partials(self, spark, corpus, tmp_path):
+        ppath = str(tmp_path / "partials")
+        reg1 = build_filters(
+            spark, corpus, id_col="url", partials_path=ppath,
+            build=BuildConfig(num_buckets=4, merge_groups=2), keys=["en"],
+        )
+        bitmap1 = {r["filter_id"]: bytes(r["bitmap"]) for r in reg1.collect()}
+        assert os.path.exists(ppath)
+        # lineage rows written, one per (filter, bucket)
+        lineage = spark.read.parquet(ppath + "_lineage")
+        assert lineage.count() == lineage.select("filter_id", "bucket").distinct().count()
+        # resume: all partials complete → rebuild reuses them (and the
+        # merged bitmap is unchanged)
+        reg2 = build_filters(
+            spark, corpus, id_col="url", partials_path=ppath,
+            build=BuildConfig(num_buckets=4, merge_groups=2), keys=["en"],
+        )
+        bitmap2 = {r["filter_id"]: bytes(r["bitmap"]) for r in reg2.collect()}
+        assert bitmap1 == bitmap2
+
+    def test_subtract_filter_veto(self, spark, corpus):
+        """U2 semantics (BloomFilterGenerator.cpp:1175-1199): frames present
+        in the subtract filter are not inserted."""
+        reg_en = load_registry(
+            build_filters(spark, corpus, id_col="url", keys=["en"])
+        )[0]
+        reg_de_minus_en = load_registry(
+            build_filters(
+                spark, corpus, id_col="url", keys=["de"],
+                subtract=(reg_en["bitmap"], reg_en["m_bits"], reg_en["num_hashes"]),
+            )
+        )[0]
+        reg_de = load_registry(build_filters(spark, corpus, id_col="url", keys=["de"]))[0]
+        a = np.frombuffer(reg_de_minus_en["bitmap"], dtype=np.uint8)
+        b = np.frombuffer(reg_de["bitmap"], dtype=np.uint8)
+        assert int(np.unpackbits(a).sum()) < int(np.unpackbits(b).sum())
+
+
+class TestCategorizer:
+    def test_no_false_negatives_on_training_docs(self, spark, corpus, registry):
+        """Every doc hits its own lang filter — Bloom membership of inserted
+        frames is exact, so score=1.0 ≥ any threshold."""
+        res = categorize(spark, corpus, registry, id_col="url").cache()
+        joined = res.join(corpus.select("url", "lang"), on="url")
+        misses = joined.filter(~F.array_contains("hits", F.col("lang"))).count()
+        assert misses == 0
+
+    def test_assignment_accuracy(self, spark, corpus, registry):
+        """With 15% shared vocabulary, most docs are uniquely assigned to
+        their own language."""
+        res = categorize(spark, corpus, registry, id_col="url")
+        joined = res.join(corpus.select("url", "lang"), on="url")
+        total = joined.count()
+        correct = joined.filter(F.col("assigned") == F.col("lang")).count()
+        multi = joined.filter(F.col("assigned") == "multiMatch").count()
+        assert (correct + multi) == total  # own filter always hits
+        assert correct / total > 0.5
+
+    def test_disjoint_corpus_is_nomatch_within_fpr(self, spark, registry):
+        """Docs from languages never trained → noMatch (modulo Bloom FPR,
+        which the binomial kernel bounds)."""
+        other = generate_corpus(
+            spark, 150, seed=99, langs=("pt", "nl"), shared_frac=0.0, num_partitions=2
+        )
+        cfg = CategorizerConfig(scoring=ScoringConfig(method="binomial", min_fpr=1e-10))
+        res = categorize(spark, other, registry, cfg, id_col="url")
+        nomatch = res.filter(F.col("assigned") == "noMatch").count()
+        assert nomatch == 150
+
+    def test_summary_counters_consistent(self, spark, corpus, registry):
+        res = categorize(spark, corpus, registry, id_col="url").cache()
+        total = res.count()
+        summ = {r["filter_id"]: r.asDict() for r in summarize(res, [f["filter_id"] for f in registry]).collect()}
+        uniq_sum = sum(summ[l]["unique"] for l in LANGS)
+        assert uniq_sum + summ["multiMatch"]["hits"] + summ["noMatch"]["hits"] == total
+        for l in LANGS:
+            assert summ[l]["shared"] == summ[l]["hits"] - summ[l]["unique"]
+
+    def test_ordered_mode_first_wins(self, spark, corpus, registry):
+        cfg = CategorizerConfig(mode="ordered", ordered_filters=("fr", "de", "en"))
+        res = categorize(spark, corpus, registry, cfg, id_col="url")
+        # ordered mode never emits multiMatch (BioBloomClassifier.cpp:1145-1153)
+        assert res.filter(F.col("assigned") == "multiMatch").count() == 0
+        # any doc that hits fr at all is assigned fr
+        joined = res.join(corpus.select("url", "lang"), on="url")
+        fr_docs = joined.filter(F.col("lang") == "fr")
+        assert fr_docs.filter(F.col("assigned") != "fr").count() == 0
+
+    def test_besthit_mode(self, spark, corpus, registry):
+        cfg = CategorizerConfig(mode="besthit")
+        res = categorize(spark, corpus, registry, cfg, id_col="url")
+        joined = res.join(corpus.select("url", "lang"), on="url")
+        total = joined.count()
+        # own filter scores 1.0 (all frames hit); a tie → multiMatch
+        wrong = joined.filter(
+            (F.col("assigned") != F.col("lang")) & (F.col("assigned") != "multiMatch")
+        ).count()
+        assert wrong == 0
+        # perfect doc = one run of n frames → score (n - 0.5)/n
+        low = joined.filter(
+            F.col("best_score") < (F.col("n_frames") - 0.5) / F.col("n_frames")
+        ).count()
+        assert low == 0
+
+    def test_pair_combine_and_vs_or(self, spark, registry):
+        pdf = generate_corpus_pandas(60, seed=5, langs=LANGS, shared_frac=0.15)
+        pdf2 = generate_corpus_pandas(60, seed=6, langs=LANGS, shared_frac=0.15)
+        pairs = spark.createDataFrame(
+            [
+                (str(i), a, b)
+                for i, (a, b) in enumerate(zip(pdf["text"], pdf2["text"]))
+            ],
+            "doc_id string, text1 string, text2 string",
+        )
+        res_and = categorize_pairs(spark, pairs, registry).cache()
+        res_or = categorize_pairs(
+            spark, pairs, registry, CategorizerConfig(inclusive_pairs=True)
+        ).cache()
+        n_and = res_and.select(F.sum(F.size("hits"))).collect()[0][0]
+        n_or = res_or.select(F.sum(F.size("hits"))).collect()[0][0]
+        assert n_or >= n_and  # OR combine is a superset (ResultsManager.hpp:95-175)
+
+    def test_demultiplexed_write(self, spark, corpus, registry, tmp_path):
+        res = categorize(spark, corpus, registry, id_col="url")
+        out = str(tmp_path / "demux")
+        write_demultiplexed(res, corpus.select("url", "text"), out, id_col="url")
+        cats = {d.split("=")[1] for d in os.listdir(out) if d.startswith("assigned=")}
+        assert cats & set(LANGS)
+        back = spark.read.parquet(out)
+        assert back.count() == corpus.count()
+
+
+class TestCorpusSparkParity:
+    def test_spark_and_pandas_generators_agree(self, spark):
+        sdf = generate_corpus(spark, 40, seed=21, num_partitions=3).toPandas()
+        pdf = generate_corpus_pandas(40, seed=21)
+        sdf = sdf.sort_values("url").reset_index(drop=True)
+        pdf = pdf.sort_values("url").reset_index(drop=True)
+        assert list(sdf["text"]) == list(pdf["text"])
+        assert list(sdf["lang"]) == list(pdf["lang"])
