@@ -1,0 +1,114 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline metric mirrors BASELINE.json: pages/sec through the two-phase
+pipeline (filter build + categorize).  Per-query wall seconds reported in
+``queries``.  Run tools/scaling_bench.py for the N-vs-4N-cores scaling
+efficiency evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main() -> None:
+    from biobloom_spark.config import BuildConfig
+    from biobloom_spark.operators import build_filters, categorize, load_registry, summarize
+    from biobloom_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    # testdata is one small parquet file (1 scan partition); spread it once
+    # so the scoring pass parallelizes — a real deployment's scan already
+    # yields thousands of partitions and skips this
+    docs = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .repartition(CPUS)
+        .cache()
+    )
+    n_docs = docs.count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn, reps: int = 3):
+        """Median-of-reps wall time — the host is multi-tenant and single
+        runs swing 2-3x; median is the stable statistic."""
+        samples = []
+        out = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+        return out
+
+    # warm-up: spin up python workers + compile the agg codegen once so the
+    # timed section measures steady-state throughput, not JIT
+    warm_docs = docs.limit(200).cache()
+    warm_docs.count()
+    warm_reg = build_filters(
+        spark, warm_docs, key_col="lang", text_col="text", id_col="doc_id",
+        build=BuildConfig(num_buckets=4, merge_groups=2),
+    )
+    warm_filters = load_registry(warm_reg)
+    summarize(
+        categorize(spark, warm_docs, warm_filters, id_col="doc_id"),
+        [f["filter_id"] for f in warm_filters],
+    ).collect()
+    warm_docs.unpersist()
+
+    # phase 1: filter construction (sizing pre-pass + salted build + merge)
+    reg = timed(
+        "bloom_build",
+        lambda: build_filters(
+            spark, docs, key_col="lang", text_col="text", id_col="doc_id",
+            build=BuildConfig(num_buckets=max(CPUS, 8), merge_groups=8),
+        ).cache(),
+    )
+    reg.count()
+    filters = load_registry(reg)
+
+    # phase 2: categorization + summary
+    timed(
+        "bloom_categorize",
+        lambda: summarize(
+            categorize(spark, docs, filters, id_col="doc_id"), [f["filter_id"] for f in filters]
+        ).collect(),
+    )
+
+    # oracle-checked relational slices
+    for qname in ("sizing_prepass", "distinct_shingles", "exact_classify_summary"):
+        fn = entrymod.queries()[qname]
+        timed(qname, lambda f=fn: f(spark, SF_DIR).collect())
+
+    pipeline_sec = timings["bloom_build"] + timings["bloom_categorize"]
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "cpus": CPUS,
+                "n_docs": n_docs,
+                "pages_per_sec_build_categorize": round(n_docs / pipeline_sec, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

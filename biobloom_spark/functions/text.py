@@ -18,7 +18,7 @@ import re
 
 import numpy as np
 
-from ..sketch.hashing import hash_tokens, shingle_hashes
+from ..sketch.hashing import flat_shingle_hashes, hash_tokens, shingle_hashes
 
 EXTRACTOR_VERSION = 1
 
@@ -87,8 +87,30 @@ def dust_mask(tokens: list[str], w: int, min_distinct: int = 2) -> np.ndarray:
 def doc_shingle_hashes(
     text: str, w: int, cache: dict | None = None
 ) -> np.ndarray:
-    """text → uint64 shingle-hash array (the per-document hot path)."""
+    """text → uint64 shingle-hash array (single-document path)."""
     toks = tokenize(text)
     if len(toks) < w:
         return np.empty(0, dtype=np.uint64)
     return shingle_hashes(hash_tokens(toks, cache), w)
+
+
+def batch_doc_shingles(
+    texts, w: int, cache: dict | None = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Whole-batch shingling (the hot path for maker and categorizer).
+
+    Returns (frame_hashes, frame_offsets, token_hashes, token_counts):
+    every doc's tokens hashed flat in one pass, windows crossing doc
+    boundaries masked — output identical to per-doc ``doc_shingle_hashes``.
+    """
+    if cache is None:
+        cache = {}
+    all_tokens: list[str] = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, text in enumerate(texts):
+        toks = (text or "").split()
+        counts[i] = len(toks)
+        all_tokens.extend(toks)
+    token_hashes = hash_tokens(all_tokens, cache)
+    frame_hashes, frame_offsets = flat_shingle_hashes(token_hashes, counts, w)
+    return frame_hashes, frame_offsets, token_hashes, counts

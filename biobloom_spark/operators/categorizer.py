@@ -26,8 +26,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..config import MULTI_MATCH, NO_MATCH, CategorizerConfig
-from ..functions.text import dust_mask, tokenize
-from ..sketch import BloomSketch, hash_tokens, shingle_hashes
+from ..functions.text import batch_doc_shingles, dust_mask, tokenize
+from ..sketch import BloomSketch
+from ..sketch.hashing import km_probe
 from .scoring import SegmentedBatch, score_batch
 
 __all__ = ["categorize", "categorize_pairs", "summarize", "write_demultiplexed"]
@@ -46,26 +47,32 @@ def _result_schema(id_field: T.StructField) -> T.StructType:
     )
 
 
-def _score_texts(texts: np.ndarray, filters: list[dict], cfg: CategorizerConfig):
-    """One Arrow batch → (n_frames, scores[n_docs,n_filters], matches[...])."""
+def _score_texts(texts: np.ndarray, filters: list[dict], cfg: CategorizerConfig,
+                 cache: dict | None = None):
+    """One Arrow batch → (n_frames, scores[n_docs,n_filters], matches[...]).
+
+    The batch is tokenized+shingled *flat* in one pass and K-M probe-hashed
+    once; each filter then costs only its h add/compare/bit-test sweeps.
+    """
     w = filters[0]["shingle_w"]
     scoring = cfg.scoring
-    cache: dict = {}
-    arrays, masks = [], []
-    for text in texts:
-        toks = tokenize(text or "")
-        arrays.append(shingle_hashes(hash_tokens(toks, cache), w))
-        if scoring.dust:
-            masks.append(dust_mask(toks, w, scoring.dust_min_distinct))
-    batch = SegmentedBatch.from_hash_arrays(arrays, masks if scoring.dust else None)
+    hashes, offsets, _tok_h, tok_counts = batch_doc_shingles(texts, w, cache)
+    mask = None
+    if scoring.dust:
+        masks = [
+            dust_mask(tokenize(t or ""), w, scoring.dust_min_distinct) for t in texts
+        ]
+        mask = np.concatenate(masks) if masks else np.zeros(0, dtype=bool)
+    batch = SegmentedBatch(hashes, offsets, mask)
     n_docs = batch.n_docs
     scores = np.zeros((n_docs, len(filters)))
     matches = np.zeros((n_docs, len(filters)), dtype=bool)
+    h1, h2 = km_probe(hashes)
     for j, flt in enumerate(filters):
         bloom = BloomSketch.deserialize(flt["bitmap"], flt["m_bits"], flt["num_hashes"])
-        hit = bloom.contains_batch(batch.hashes)
-        if batch.mask is not None and hit.size:
-            hit &= ~batch.mask  # dust-masked frames are non-hits (SeqEval.h:496-508)
+        hit = bloom.contains_probe(h1, h2) if hashes.size else np.zeros(0, dtype=bool)
+        if mask is not None and hit.size:
+            hit &= ~mask  # dust-masked frames are non-hits (SeqEval.h:496-508)
         s, m = score_batch(hit, batch, scoring, flt["fpr"], w)
         scores[:, j] = s
         matches[:, j] = m
@@ -132,9 +139,10 @@ def categorize(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         flts = bc.value
+        cache: dict = {}  # worker-lifetime token-hash memo
         for pdf in batches:
             texts = pdf[text_col].to_numpy()
-            frames, scores, matches = _score_texts(texts, flts, cfg)
+            frames, scores, matches = _score_texts(texts, flts, cfg, cache)
             hits, assigned, best = _assign(scores, matches, filter_ids, cfg)
             yield pd.DataFrame(
                 {
@@ -177,9 +185,10 @@ def categorize_pairs(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         flts = bc.value
+        cache: dict = {}
         for pdf in batches:
-            f1, s1, m1 = _score_texts(pdf[text1_col].to_numpy(), flts, cfg)
-            f2, s2, m2 = _score_texts(pdf[text2_col].to_numpy(), flts, cfg)
+            f1, s1, m1 = _score_texts(pdf[text1_col].to_numpy(), flts, cfg, cache)
+            f2, s2, m2 = _score_texts(pdf[text2_col].to_numpy(), flts, cfg, cache)
             matches = (m1 | m2) if cfg.inclusive_pairs else (m1 & m2)
             scores = (s1 + s2) / 2.0
             hits, assigned, best = _assign(scores, matches, filter_ids, cfg)

@@ -45,17 +45,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import BloomParams, BuildConfig
-from ..functions.text import tokenize
+from ..functions.text import batch_doc_shingles
 from ..sketch import (
     BloomSketch,
     CountMinSketch,
     HLLSketch,
     KLLSketch,
     TDigestSketch,
-    hash_tokens,
     optimal_hash_num,
     optimal_size_bits,
-    shingle_hashes,
 )
 from ..sources.tables import LINEAGE_SCHEMA, PARTIAL_SCHEMA, REGISTRY_SCHEMA
 
@@ -119,18 +117,15 @@ def _build_partial_fn(sizing: dict, params: BloomParams, text_col: str, key_col:
         sub = None
         if subtract_bits is not None:
             sub = BloomSketch.deserialize(subtract_bits, *subtract_meta)
-        cache: dict = {}
-        lengths = np.empty(len(pdf), dtype=np.float64)
-        for i, text in enumerate(pdf[text_col].to_numpy()):
-            toks = tokenize(text or "")
-            lengths[i] = len(toks)
-            th = hash_tokens(toks, cache)
-            frames = shingle_hashes(th, w)
-            if sub is not None and frames.size:
-                frames = frames[~sub.contains_batch(frames)]
-            bloom.update_batch(frames)
-            hll.update_batch(frames)
-            cms.update_batch(th)
+        frames, _offs, tok_hashes, tok_counts = batch_doc_shingles(
+            pdf[text_col].to_numpy(), w
+        )
+        if sub is not None and frames.size:
+            frames = frames[~sub.contains_batch(frames)]
+        bloom.update_batch(frames)
+        hll.update_batch(frames)
+        cms.update_batch(tok_hashes)
+        lengths = tok_counts.astype(np.float64)
         td.update_batch(lengths)
         kll.update_batch(lengths)
         return pd.DataFrame(

@@ -27,7 +27,9 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from .hashing import bloom_indices
+from .hashing import km_indices_iter, km_probe
+
+_BIT_LUT = (np.uint8(1) << np.arange(8, dtype=np.uint8))  # bit masks by idx&7
 
 __all__ = [
     "optimal_hash_num",
@@ -103,12 +105,13 @@ class BloomSketch:
             return 0
         # first occurrences: a repeated hash within the batch is redundant
         uniq = np.unique(hashes)
-        idx = bloom_indices(uniq, self.num_hashes, self.m_bits)  # (h, u)
-        byte_i = (idx >> np.uint64(3)).astype(np.int64)
-        bit_m = (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
-        pre = (self.bits[byte_i] & bit_m) != 0  # (h, u) were-set flags
-        present = pre.all(axis=0)
-        np.bitwise_or.at(self.bits, byte_i.ravel(), bit_m.ravel())
+        h1, h2 = km_probe(uniq)
+        present = np.ones(uniq.size, dtype=bool)
+        for idx in km_indices_iter(h1, h2, self.num_hashes, self.m_bits):
+            byte_i = idx >> 3
+            bit_m = _BIT_LUT[idx & 7]
+            present &= (self.bits[byte_i] & bit_m) != 0
+            np.bitwise_or.at(self.bits, byte_i, bit_m)
         n_uniq_new = int((~present).sum())
         n_red = int(hashes.size - n_uniq_new)
         self.n_inserted += int(hashes.size)
@@ -122,10 +125,18 @@ class BloomSketch:
         (contains call sites /root/reference/Common/SeqEval.h:54,79,158)."""
         if hashes.size == 0:
             return np.zeros(0, dtype=bool)
-        idx = bloom_indices(hashes, self.num_hashes, self.m_bits)
-        byte_i = (idx >> np.uint64(3)).astype(np.int64)
-        bit_m = (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
-        return ((self.bits[byte_i] & bit_m) != 0).all(axis=0)
+        h1, h2 = km_probe(hashes)
+        return self.contains_probe(h1, h2)
+
+    def contains_probe(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """Membership given a precomputed K-M probe pair — lets the
+        categorizer hash each batch once and test against every filter."""
+        out = np.ones(h1.size, dtype=bool)
+        for idx in km_indices_iter(h1, h2, self.num_hashes, self.m_bits):
+            out &= (self.bits[idx >> 3] & _BIT_LUT[idx & 7]) != 0
+            if not out.any():
+                break
+        return out
 
     # -- merge ------------------------------------------------------------
     def merge(self, other: "BloomSketch") -> "BloomSketch":
