@@ -30,7 +30,9 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _with_tokens(docs: DataFrame) -> DataFrame:
-    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+    from biobloom_spark.sources.tables import tokens_col
+
+    toks = tokens_col("text")
     return docs.withColumn("toks", toks).withColumn("n_tokens", F.size("toks"))
 
 
@@ -130,6 +132,107 @@ def q_bloom_categorize_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summarize(res, [f["filter_id"] for f in filters])
 
 
+def q_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup cardinality: total vs distinct-text counts."""
+    return _docs(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_distinct_texts"),
+    )
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard duplicate pairs at tau=0.5 (the SQL-checkable
+    anchor for the MinHash/LSH scale path)."""
+    from biobloom_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), w=SHINGLE_W, threshold=0.5)
+
+
+def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (approximate → rows-only; recall vs the
+    exact twin is pytest-verified)."""
+    from biobloom_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), w=SHINGLE_W, threshold=0.5)
+
+
+def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only)."""
+    from biobloom_spark.operators.dedup import simhash_near_dups
+
+    return simhash_near_dups(_docs(spark, sf_dir), w=SHINGLE_W, max_hamming=12, blocks=16)
+
+
+def q_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting aggregates."""
+    from biobloom_spark.operators.textstats import token_stats
+
+    return token_stats(_docs(spark, sf_dir)).groupBy("lang").agg(
+        F.sum("n_ws_tokens").alias("ws_tokens"),
+        F.sum("n_bpe_tokens").alias("bpe_tokens"),
+        F.sum("n_chars_text").alias("chars"),
+    )
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features + composite score (pure arithmetic)."""
+    from biobloom_spark.operators.textstats import quality_score
+
+    return quality_score(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "mean_word_len", "alpha_ratio", "digit_ratio",
+        "punct_ratio", "type_token_ratio", "quality",
+    )
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id<5 (ANN baseline)."""
+    from biobloom_spark.operators.similarity import brute_force_topk
+
+    embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qrows = embs.filter(F.col("vec_id") < 5).collect()
+    queries_list = [(int(r["vec_id"]), r["embedding"]) for r in qrows]
+    return brute_force_topk(spark, embs, queries_list, k=5)
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN top-5 (approximate → rows-only; recall
+    pytest-verified against brute force)."""
+    from biobloom_spark.operators.similarity import (
+        deterministic_centroids,
+        ivf_assign,
+        ivf_topk,
+    )
+
+    embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    cents = deterministic_centroids(embs, 16)
+    assigned = ivf_assign(embs, cents)
+    qrows = embs.filter(F.col("vec_id") < 5).collect()
+    queries_list = [(int(r["vec_id"]), r["embedding"]) for r in qrows]
+    return ivf_topk(spark, assigned, cents, queries_list, k=5, nprobe=6)
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style bottom-k fingerprints (rows-only: xxhash64 has no
+    DuckDB twin; determinism pytest-verified)."""
+    from biobloom_spark.operators.textstats import doc_fingerprints
+
+    return doc_fingerprints(_docs(spark, sf_dir), w=SHINGLE_W, k=8)
+
+
+def q_language_id_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID via besthit categorization; per-predicted-lang counts
+    (Bloom-based → rows-only; accuracy pytest-verified)."""
+    from biobloom_spark.operators.textstats import language_id, train_language_profiles
+
+    docs = _docs(spark, sf_dir)
+    profiles = train_language_profiles(spark, docs)
+    return (
+        language_id(spark, docs, profiles)
+        .groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sizing_prepass": q_sizing_prepass,
@@ -139,6 +242,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_classify_summary": q_exact_classify_summary,
         "exact_filter_hits": q_exact_filter_hits,
         "bloom_categorize_summary": q_bloom_categorize_summary,
+        "exact_dedup_stats": q_exact_dedup_stats,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_lsh_dups": q_minhash_lsh_dups,
+        "simhash_dups": q_simhash_dups,
+        "token_stats_by_lang": q_token_stats_by_lang,
+        "doc_quality": q_doc_quality,
+        "embedding_topk": q_embedding_topk,
+        "ivf_topk": q_ivf_topk,
+        "doc_fingerprints": q_doc_fingerprints,
+        "language_id_summary": q_language_id_summary,
     }
 
 
@@ -217,7 +330,82 @@ def oracle_sql() -> dict[str, str]:
             WHERE h.hit_frames >= {EXACT_TAU} * f.frames
             GROUP BY h.ref_key
         """,
-        # bloom_categorize_summary: approximate-membership → rows-only check
+        "exact_dedup_stats": """
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts
+            FROM documents
+        """,
+        "ngram_jaccard_pairs": _SHINGLES_CTE
+        + """
+            , dsh AS (SELECT DISTINCT doc_id AS id, shingle FROM sh),
+            sizes AS (SELECT id, count(*) AS sz FROM dsh GROUP BY id),
+            inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+              FROM dsh a JOIN dsh b USING (shingle)
+              WHERE a.id < b.id GROUP BY a.id, b.id
+            )
+            SELECT id_a, id_b,
+                   ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+        """,
+        "token_stats_by_lang": f"""
+            SELECT lang,
+                   CAST(SUM(len({_TOKS})) AS BIGINT) AS ws_tokens,
+                   CAST(SUM(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS bpe_tokens,
+                   CAST(SUM(length(text)) AS BIGINT) AS chars
+            FROM documents GROUP BY lang
+        """,
+        "doc_quality": f"""
+            WITH feat AS (
+              SELECT doc_id,
+                     len({_TOKS}) AS n_tokens,
+                     length(text) AS n_chars,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+                     length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+                     length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+                     len(list_distinct({_TOKS})) AS distinct_tok
+              FROM documents
+            ), r AS (
+              SELECT doc_id, n_tokens,
+                ROUND((n_chars - GREATEST(n_tokens - 1, 0)) / CAST(GREATEST(n_tokens, 1) AS DOUBLE), 6) AS mean_word_len,
+                ROUND(alpha / CAST(GREATEST(n_chars, 1) AS DOUBLE), 6) AS alpha_ratio,
+                ROUND(digits / CAST(GREATEST(n_chars, 1) AS DOUBLE), 6) AS digit_ratio,
+                ROUND(punct / CAST(GREATEST(n_chars, 1) AS DOUBLE), 6) AS punct_ratio,
+                ROUND(distinct_tok / CAST(GREATEST(n_tokens, 1) AS DOUBLE), 6) AS type_token_ratio
+              FROM feat
+            )
+            SELECT doc_id, n_tokens, mean_word_len, alpha_ratio, digit_ratio,
+                   punct_ratio, type_token_ratio,
+                   ROUND(LEAST(n_tokens / 64.0, 1.0) * alpha_ratio
+                         * (1.0 - LEAST(digit_ratio * 4, 1.0))
+                         * (1.0 - LEAST(punct_ratio * 4, 1.0))
+                         * LEAST(type_token_ratio * 2, 1.0), 6) AS quality
+            FROM r
+        """,
+        "embedding_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 5),
+            sims AS (
+              SELECT q.query_id, e.vec_id,
+                     ROUND(list_cosine_similarity(
+                        CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) AS cosine
+              FROM embeddings e, q
+            ), ranked AS (
+              SELECT query_id, vec_id, cosine,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, vec_id ASC) AS rank
+              FROM sims
+            )
+            SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 5
+        """,
+        # rows-only (approximate / hash-specific, pytest-verified instead):
+        # bloom_categorize_summary, minhash_lsh_dups, simhash_dups,
+        # ivf_topk, doc_fingerprints, language_id_summary
     }
 
 

@@ -22,7 +22,13 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 def main() -> None:
     from biobloom_spark.config import BuildConfig
-    from biobloom_spark.operators import build_filters, categorize, load_registry, summarize
+    from biobloom_spark.operators import (
+        build_filters,
+        categorize,
+        load_registry,
+        summarize,
+        summarize_fused,
+    )
     from biobloom_spark.session import get_spark
 
     import __spark_entry__ as entrymod
@@ -67,23 +73,25 @@ def main() -> None:
     ).collect()
     warm_docs.unpersist()
 
-    # phase 1: filter construction (sizing pre-pass + salted build + merge)
-    reg = timed(
+    # phase 1: filter construction (sizing pre-pass + salted build + merge);
+    # noop sink = full materialization, no cross-rep cache reuse
+    timed(
         "bloom_build",
         lambda: build_filters(
             spark, docs, key_col="lang", text_col="text", id_col="doc_id",
             build=BuildConfig(num_buckets=max(CPUS, 8), merge_groups=8),
-        ).cache(),
+        ).write.format("noop").mode("overwrite").save(),
     )
-    reg.count()
+    reg = build_filters(
+        spark, docs, key_col="lang", text_col="text", id_col="doc_id",
+        build=BuildConfig(num_buckets=max(CPUS, 8), merge_groups=8),
+    )
     filters = load_registry(reg)
 
     # phase 2: categorization + summary
     timed(
         "bloom_categorize",
-        lambda: summarize(
-            categorize(spark, docs, filters, id_col="doc_id"), [f["filter_id"] for f in filters]
-        ).collect(),
+        lambda: summarize_fused(spark, docs, filters, id_col="doc_id").collect(),
     )
 
     # oracle-checked relational slices

@@ -43,6 +43,10 @@ class BloomParams:
     fpr: float = DEFAULT_FPR
     num_hashes: int | None = None  # None → optimal for fpr
     shingle_w: int = DEFAULT_SHINGLE_W
+    #: 512 = cache-line blocked layout (the 100 TB default: one DRAM line
+    #: per probe, sized with margin so measured FPR stays <= fpr);
+    #: 0 = the reference's classic layout (format parity)
+    block_bits: int = 512
     #: hard cap on a single filter's bit size (broadcast budget guard;
     #: 2^33 bits = 1 GiB bitmap)
     max_bits: int = 1 << 33
@@ -87,10 +91,23 @@ class CategorizerConfig:
 class BuildConfig:
     """Distributed build layout knobs (scale path)."""
 
-    #: shuffle buckets per filter key — partial sketches per key; sized so a
+    #: partial-build strategy: "partition" = zero-shuffle, every task builds
+    #: all keys' partials over its own documents (memory/task = sum of all
+    #: bitmaps); "bucketed" = salted shuffle to (key, bucket) groups (one
+    #: bitmap per task, for huge/high-cardinality filter sets);
+    #: "auto" picks by total bitmap size
+    strategy: str = "auto"
+    #: auto-strategy threshold: total bits across filters a single task may
+    #: hold (4 GiB of bitmaps)
+    partition_strategy_max_bits: int = 1 << 35
+    #: shuffle buckets per filter key (bucketed strategy) — sized so a
     #: bucket's shingles fit executor memory at target SF
     num_buckets: int = 32
     #: two-level merge fan-in (bucket partials → g groups → final)
     merge_groups: int = 8
     #: write per-bucket lineage rows for resume
     checkpoint: bool = True
+
+    def __post_init__(self) -> None:
+        if self.strategy not in ("auto", "partition", "bucketed"):
+            raise ValueError(f"unknown build strategy {self.strategy!r}")

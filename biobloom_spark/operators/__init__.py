@@ -1,4 +1,10 @@
-from .categorizer import categorize, categorize_pairs, summarize, write_demultiplexed
+from .categorizer import (
+    categorize,
+    categorize_pairs,
+    summarize,
+    summarize_fused,
+    write_demultiplexed,
+)
 from .maker import build_filters, load_registry, size_filters
 from .scoring import SegmentedBatch, score_batch
 
@@ -6,6 +12,7 @@ __all__ = [
     "categorize",
     "categorize_pairs",
     "summarize",
+    "summarize_fused",
     "write_demultiplexed",
     "build_filters",
     "load_registry",

@@ -31,7 +31,7 @@ from ..sketch import BloomSketch
 from ..sketch.hashing import km_probe
 from .scoring import SegmentedBatch, score_batch
 
-__all__ = ["categorize", "categorize_pairs", "summarize", "write_demultiplexed"]
+__all__ = ["categorize", "categorize_pairs", "summarize", "summarize_fused", "write_demultiplexed"]
 
 
 def _result_schema(id_field: T.StructField) -> T.StructType:
@@ -47,15 +47,29 @@ def _result_schema(id_field: T.StructField) -> T.StructType:
     )
 
 
+def _make_sketches(filters: list[dict]) -> list[BloomSketch]:
+    """Zero-copy probe sketches over the broadcast bitmaps — built once per
+    task, shared across Arrow batches."""
+    return [
+        BloomSketch.deserialize(
+            f["bitmap"], f["m_bits"], f["num_hashes"], copy=False,
+            block_bits=f.get("block_bits", 0),
+        )
+        for f in filters
+    ]
+
+
 def _score_texts(texts: np.ndarray, filters: list[dict], cfg: CategorizerConfig,
-                 cache: dict | None = None):
+                 cache: dict | None = None, sketches: list[BloomSketch] | None = None):
     """One Arrow batch → (n_frames, scores[n_docs,n_filters], matches[...]).
 
     The batch is tokenized+shingled *flat* in one pass and K-M probe-hashed
-    once; each filter then costs only its h add/compare/bit-test sweeps.
+    once; each filter then costs only its compacting probe sweeps.
     """
     w = filters[0]["shingle_w"]
     scoring = cfg.scoring
+    if sketches is None:
+        sketches = _make_sketches(filters)
     hashes, offsets, _tok_h, tok_counts = batch_doc_shingles(texts, w, cache)
     mask = None
     if scoring.dust:
@@ -68,8 +82,7 @@ def _score_texts(texts: np.ndarray, filters: list[dict], cfg: CategorizerConfig,
     scores = np.zeros((n_docs, len(filters)))
     matches = np.zeros((n_docs, len(filters)), dtype=bool)
     h1, h2 = km_probe(hashes)
-    for j, flt in enumerate(filters):
-        bloom = BloomSketch.deserialize(flt["bitmap"], flt["m_bits"], flt["num_hashes"])
+    for j, (flt, bloom) in enumerate(zip(filters, sketches)):
         hit = bloom.contains_probe(h1, h2) if hashes.size else np.zeros(0, dtype=bool)
         if mask is not None and hit.size:
             hit &= ~mask  # dust-masked frames are non-hits (SeqEval.h:496-508)
@@ -139,10 +152,11 @@ def categorize(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         flts = bc.value
+        sketches = _make_sketches(flts)
         cache: dict = {}  # worker-lifetime token-hash memo
         for pdf in batches:
             texts = pdf[text_col].to_numpy()
-            frames, scores, matches = _score_texts(texts, flts, cfg, cache)
+            frames, scores, matches = _score_texts(texts, flts, cfg, cache, sketches)
             hits, assigned, best = _assign(scores, matches, filter_ids, cfg)
             yield pd.DataFrame(
                 {
@@ -185,10 +199,11 @@ def categorize_pairs(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         flts = bc.value
+        sketches = _make_sketches(flts)
         cache: dict = {}
         for pdf in batches:
-            f1, s1, m1 = _score_texts(pdf[text1_col].to_numpy(), flts, cfg, cache)
-            f2, s2, m2 = _score_texts(pdf[text2_col].to_numpy(), flts, cfg, cache)
+            f1, s1, m1 = _score_texts(pdf[text1_col].to_numpy(), flts, cfg, cache, sketches)
+            f2, s2, m2 = _score_texts(pdf[text2_col].to_numpy(), flts, cfg, cache, sketches)
             matches = (m1 | m2) if cfg.inclusive_pairs else (m1 & m2)
             scores = (s1 + s2) / 2.0
             hits, assigned, best = _assign(scores, matches, filter_ids, cfg)
@@ -234,6 +249,96 @@ def summarize(result: DataFrame, filter_ids: list[str]) -> DataFrame:
     rows.append((MULTI_MATCH, int(g["multi"]), int(g["multi"]), 0, g["multi"] / total, g["multi"] / total, 0.0))
     rows.append((NO_MATCH, int(g["nomatch"]), int(g["nomatch"]), 0, g["nomatch"] / total, g["nomatch"] / total, 0.0))
     spark = result.sparkSession
+    return spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("filter_id", T.StringType(), False),
+                T.StructField("hits", T.LongType(), False),
+                T.StructField("unique", T.LongType(), False),
+                T.StructField("shared", T.LongType(), False),
+                T.StructField("rate_hit", T.DoubleType(), False),
+                T.StructField("rate_unique", T.DoubleType(), False),
+                T.StructField("rate_shared", T.DoubleType(), False),
+            ]
+        ),
+    )
+
+
+def summarize_fused(
+    spark: SparkSession,
+    docs: DataFrame,
+    filters: list[dict],
+    cfg: CategorizerConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Categorize + summary in one fused map-side-combined pass.
+
+    Same output as ``summarize(categorize(...))`` but the Arrow UDF emits
+    per-batch *partial counters* (one row per filter per batch) instead of
+    per-document rows — at 10^12 docs that's the difference between
+    shipping the corpus back through the Arrow bridge and shipping a few
+    counter rows per task.  Use when only the summary sink is needed;
+    ``categorize`` remains the per-document operator.
+    """
+    from ..session import ensure_workers
+
+    ensure_workers(spark)
+    cfg = cfg or CategorizerConfig()
+    filter_ids = [f["filter_id"] for f in filters]
+    bc = spark.sparkContext.broadcast(filters)
+    schema = T.StructType(
+        [
+            T.StructField("filter_id", T.StringType(), False),
+            T.StructField("hits", T.LongType(), False),
+            T.StructField("unique", T.LongType(), False),
+            T.StructField("total", T.LongType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        flts = bc.value
+        sketches = _make_sketches(flts)
+        cache: dict = {}
+        for pdf in batches:
+            texts = pdf[text_col].to_numpy()
+            _f, scores, matches = _score_texts(texts, flts, cfg, cache, sketches)
+            hits_list, assigned, _b = _assign(scores, matches, filter_ids, cfg)
+            n = len(texts)
+            rows = []
+            for j, fid in enumerate(filter_ids):
+                hit_ct = sum(fid in h for h in hits_list)
+                uniq_ct = int((assigned == fid).sum())
+                rows.append((fid, hit_ct, uniq_ct, 0))
+            multi = int((assigned == MULTI_MATCH).sum())
+            nomatch = int((assigned == NO_MATCH).sum())
+            rows.append((MULTI_MATCH, multi, multi, 0))
+            rows.append((NO_MATCH, nomatch, nomatch, 0))
+            rows.append(("__total", 0, 0, n))
+            yield pd.DataFrame(rows, columns=["filter_id", "hits", "unique", "total"])
+
+    partials = docs.select(id_col, text_col).mapInPandas(run, schema=schema)
+    agg = (
+        partials.groupBy("filter_id")
+        .agg(
+            F.sum("hits").alias("hits"),
+            F.sum("unique").alias("unique"),
+            F.sum("total").alias("total"),
+        )
+        .collect()
+    )
+    by_id = {r["filter_id"]: r for r in agg}
+    total = int(by_id.get("__total", {"total": 0})["total"]) or 1
+    rows = []
+    for fid in filter_ids + [MULTI_MATCH, NO_MATCH]:
+        r = by_id.get(fid)
+        hits = int(r["hits"]) if r else 0
+        uniq = int(r["unique"]) if r else 0
+        shared = hits - uniq if fid in filter_ids else 0
+        rows.append(
+            (fid, hits, uniq, shared, hits / total, uniq / total, shared / total)
+        )
     return spark.createDataFrame(
         rows,
         T.StructType(

@@ -1,0 +1,331 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+No reference counterpart in bcgsc/biobloom (its redundancy tracking,
+BloomFilterGenerator.h:170-188, detects repeated *k-mers*, not duplicate
+documents) — these are the corpus-curation extensions the engine is
+expected to provide, built from the same shingle/hash substrate.
+
+Scale notes per operator are inline; the common theme: never materialize
+O(n^2) pairs — candidates come from hash buckets (exact hash, LSH band,
+simhash block), and only candidates are verified.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sketch.hashing import splitmix64
+from .exact import shingle_frames
+
+__all__ = [
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash_signatures",
+    "simhash_near_dups",
+    "embedding_near_dups",
+]
+
+_U64 = np.uint64
+
+
+# ------------------------------------------------------------------ exact
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate grouping by full-text hash.
+
+    Returns (id, dup_group, is_canonical): dup_group = xxhash64(text)
+    (JVM-side), canonical = min id per group.  One shuffle on the hash —
+    the cheapest dedup; at 100 TB group by a 2-level (hash, hash>>32)
+    if a single-key hot group ever matters (it can't: groups are
+    content-equal docs).
+    """
+    d = docs.select(
+        F.col(id_col), F.xxhash64(F.col(text_col)).alias("dup_group")
+    )
+    w_min = F.min(id_col).over(Window.partitionBy("dup_group"))
+    return d.withColumn("is_canonical", (F.col(id_col) == w_min))
+
+
+# ------------------------------------------------------- exact n-gram jaccard
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard duplicate pairs (a < b, jaccard >= threshold).
+
+    Relational: distinct (doc, shingle) → self-join on shingle → pair
+    intersection counts → |A∪B| = |A|+|B|-|A∩B|.  Fully SQL-expressible
+    (the DuckDB-oracle twin).  The shingle self-join is the scale
+    bottleneck (pairs sharing any shingle); production path is
+    minhash_lsh_pairs below — this is the exactness anchor.
+    """
+    sh = (
+        shingle_frames(docs.select(id_col, text_col), text_col, w)
+        .select(F.col(id_col).alias("id"), "shingle")
+        .distinct()
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), on="id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), on="id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ----------------------------------------------------------------- minhash
+def _minhash_batch(texts, w: int, num_perm: int, cache: dict) -> np.ndarray:
+    """(n_docs, num_perm) uint64 minhash signatures.
+
+    Permutations via affine transforms a_i*x+b_i over the shingle-hash
+    universe (a_i odd), the standard linear-permutation family.
+    """
+    from ..functions.text import batch_doc_shingles
+
+    hashes, offsets, _t, _c = batch_doc_shingles(texts, w, cache)
+    n = len(texts)
+    rng_a = splitmix64(np.arange(1, num_perm + 1, dtype=_U64) * _U64(0x9E3779B97F4A7C15)) | _U64(1)
+    rng_b = splitmix64(np.arange(1, num_perm + 1, dtype=_U64) ^ _U64(0xDEADBEEFCAFEBABE))
+    sig = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=_U64)
+    for i in range(n):
+        seg = hashes[offsets[i] : offsets[i + 1]]
+        if seg.size == 0:
+            continue
+        # (p, s) = a[:,None]*seg + b → min over s
+        vals = (rng_a[:, None] * seg[None, :] + rng_b[:, None])  # wraps mod 2^64
+        sig[i] = vals.min(axis=1)
+    return sig
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 3,
+    num_perm: int = 128,
+) -> DataFrame:
+    """Per-doc minhash signature as array<bigint> (uint64 bit-cast)."""
+    from ..session import ensure_workers
+
+    ensure_workers(docs.sparkSession)
+    schema = T.StructType(
+        [docs.schema[id_col], T.StructField("signature", T.ArrayType(T.LongType()), False)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict = {}
+        for pdf in batches:
+            sig = _minhash_batch(pdf[text_col].to_numpy(), w, num_perm, cache)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "signature": list(sig.astype(np.int64)),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    threshold: float = 0.8,
+    verify: bool = True,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs (the 100 TB dedup path).
+
+    shingle → minhash(num_perm) → band into ``bands`` groups of r =
+    num_perm/bands rows → bucket-join on (band, band-hash) → candidate
+    pairs → (optionally) verify estimated Jaccard = matching-minhash
+    fraction >= threshold.  S-curve: P(candidate) = 1-(1-s^r)^b; defaults
+    (b=32, r=4) put the knee near s≈0.42 with recall >0.99 at s=0.8.
+
+    Never materializes cross products: candidates only from shared
+    buckets; duplicate candidate pairs from multiple bands collapsed by
+    distinct before verification.
+    """
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    r = num_perm // bands
+    sigs = minhash_signatures(docs, id_col, text_col, w, num_perm)
+
+    band_idx = F.explode(
+        F.expr(
+            f"transform(sequence(0, {bands - 1}), "
+            f"b -> struct(b AS band, xxhash64(concat_ws(',', slice(signature, b*{r}+1, {r}))) AS bh))"
+        )
+    ).alias("bb")
+    banded = sigs.select(F.col(id_col).alias("id"), "signature", band_idx).select(
+        "id", "signature", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    lhs = banded.select("band", "bh", F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
+    rhs = banded.select("band", "bh", F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))
+    cand = (
+        lhs.join(rhs, on=["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if not verify:
+        return cand.select("id_a", "id_b")
+    est = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
+    ) / F.lit(float(num_perm))
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ----------------------------------------------------------------- simhash
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", w: int = 3
+) -> DataFrame:
+    """64-bit simhash per doc (Charikar): sign-sum of shingle-hash bits."""
+    from ..session import ensure_workers
+
+    ensure_workers(docs.sparkSession)
+    schema = T.StructType(
+        [docs.schema[id_col], T.StructField("simhash", T.LongType(), False)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.text import batch_doc_shingles
+
+        cache: dict = {}
+        bitcols = np.arange(64, dtype=_U64)
+        for pdf in batches:
+            texts = pdf[text_col].to_numpy()
+            hashes, offsets, _t, _c = batch_doc_shingles(texts, w, cache)
+            out = np.zeros(len(texts), dtype=np.int64)
+            for i in range(len(texts)):
+                seg = hashes[offsets[i] : offsets[i + 1]]
+                if seg.size == 0:
+                    continue
+                bits = ((seg[:, None] >> bitcols[None, :]) & _U64(1)).astype(np.int64)
+                votes = bits.sum(axis=0) * 2 - seg.size  # +1/-1 sums
+                sim = _U64(0)
+                sim = np.where(votes > 0, _U64(1), _U64(0)) << bitcols
+                out[i] = np.int64(sim.sum(dtype=_U64).astype(np.int64))
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "simhash": out})
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 3,
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dups within Hamming distance ``max_hamming``.
+
+    Pigeonhole blocking: split the 64-bit simhash into ``blocks`` pieces;
+    any pair within distance < blocks shares at least one identical block →
+    candidates from equi-join per block, verified by popcount(xor) —
+    the standard scalable Hamming join (no cross product).
+    """
+    if blocks <= max_hamming:
+        raise ValueError("need blocks > max_hamming for pigeonhole recall")
+    sigs = docs.select(F.col(id_col).alias("id")).join(
+        simhash_signatures(docs, id_col, text_col, w).withColumnRenamed(id_col, "id"),
+        on="id",
+    )
+    width = 64 // blocks
+    blocked = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {blocks - 1}), "
+                f"b -> struct(b AS blk, shiftright(simhash, b*{width}) & {(1 << width) - 1} AS bval))"
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", F.col("bb.blk").alias("blk"), F.col("bb.bval").alias("bval"))
+    lhs = blocked.select("blk", "bval", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    rhs = blocked.select("blk", "bval", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    cand = (
+        lhs.join(rhs, on=["blk", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ------------------------------------------------------- embedding near-dup
+def embedding_near_dups(
+    embs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    lsh_planes: int = 12,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via random-hyperplane LSH.
+
+    sign-sketch each vector with ``lsh_planes`` fixed hyperplanes →
+    bucket-join on the sketch → verify exact cosine >= threshold
+    (JVM zip_with/aggregate dot product).  Recall for cosine >= 0.95 with
+    12 planes: (1 - angle/pi)^12 ≈ 0.66 per bucket; production runs
+    multiple sketch tables — here one table keeps the plan readable and
+    pytest measures recall vs the brute-force oracle.
+    """
+    dim_row = embs.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row["d"])
+    rng = np.random.default_rng(0xB10B)  # fixed planes: deterministic sketch
+    planes = rng.standard_normal((lsh_planes, dim))
+
+    @F.pandas_udf(T.LongType())
+    def sketch(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy())
+        signs = (mat @ planes.T) > 0
+        return pd.Series((signs * (1 << np.arange(lsh_planes))).sum(axis=1).astype(np.int64))
+
+    s = embs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
+        "bucket", sketch("v")
+    )
+    lhs = s.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    rhs = s.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    dot = F.expr("aggregate(zip_with(v_a, v_b, (x, y) -> x*y), 0D, (acc, p) -> acc + p)")
+    norm = lambda c: F.sqrt(F.expr(f"aggregate(transform({c}, x -> x*x), 0D, (acc, p) -> acc + p)"))
+    return (
+        lhs.join(rhs, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot / (norm("v_a") * norm("v_b")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -29,7 +29,9 @@ __all__ = ["shingle_frames", "exact_classify", "exact_classify_summary"]
 
 
 def _tokens(text_col: str):
-    return F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
+    from ..sources.tables import tokens_col
+
+    return tokens_col(text_col)
 
 
 def shingle_frames(docs: DataFrame, text_col: str = "text", w: int = 3) -> DataFrame:

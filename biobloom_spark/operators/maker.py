@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import os
 import uuid
+import zlib
 from typing import Iterable
 
 import numpy as np
@@ -52,6 +53,8 @@ from ..sketch import (
     HLLSketch,
     KLLSketch,
     TDigestSketch,
+    approx_fpr,
+    blocked_size_bits,
     optimal_hash_num,
     optimal_size_bits,
 )
@@ -73,19 +76,31 @@ def size_filters(
     BloomFilterGenerator.h:108-141 — duplicates only make the filter
     conservatively large).
     """
-    from ..sources.tables import docs_with_frames
-
+    # token-count upper bound by space counting (no regex, no array
+    # allocation — the regex-split agg cost more than the whole partial
+    # build on large corpora).  Exact for single-space-separated text (our
+    # extractor's output contract); overcounts otherwise, which only makes
+    # the filter conservatively larger — same spirit as the reference
+    # counting duplicate k-mers (BloomFilterGenerator.h:108-141).
+    t = F.trim(F.col(text_col))
+    n_tokens_ub = F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1
+    )
+    frames_ub = F.greatest(F.lit(0), n_tokens_ub - F.lit(params.shingle_w - 1))
     agg = (
-        docs_with_frames(docs.select(key_col, text_col), text_col, params.shingle_w)
+        docs.select(key_col, text_col)
         .groupBy(key_col)
-        .agg(F.sum("n_frames").alias("frames"), F.count(F.lit(1)).alias("docs"))
+        .agg(F.sum(frames_ub).alias("frames"), F.count(F.lit(1)).alias("docs"))
         .collect()
     )
     h = params.num_hashes or optimal_hash_num(params.fpr)
     out = {}
     for row in agg:
         n = int(row["frames"] or 0)
-        m = min(optimal_size_bits(n, params.fpr, h), params.max_bits)
+        if params.block_bits:
+            m = min(blocked_size_bits(n, params.fpr, h, params.block_bits), params.max_bits)
+        else:
+            m = min(optimal_size_bits(n, params.fpr, h), params.max_bits)
         out[str(row[key_col])] = {
             "expected_entries": n,
             "n_docs": int(row["docs"]),
@@ -109,14 +124,18 @@ def _build_partial_fn(sizing: dict, params: BloomParams, text_col: str, key_col:
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         filter_id, bucket = str(key[0]), int(key[1])
         meta = sizing[filter_id]
-        bloom = BloomSketch(m_bits=meta["m_bits"], num_hashes=meta["num_hashes"])
+        bloom = BloomSketch(
+            m_bits=meta["m_bits"], num_hashes=meta["num_hashes"],
+            block_bits=params.block_bits,
+        )
         hll = HLLSketch(p=_HLL_P)
         cms = CountMinSketch(width=_CMS_W, depth=_CMS_D)
         td = TDigestSketch()
         kll = KLLSketch()
         sub = None
         if subtract_bits is not None:
-            sub = BloomSketch.deserialize(subtract_bits, *subtract_meta)
+            sm, sh_, sb = subtract_meta
+            sub = BloomSketch.deserialize(subtract_bits, sm, sh_, block_bits=sb)
         frames, _offs, tok_hashes, tok_counts = batch_doc_shingles(
             pdf[text_col].to_numpy(), w
         )
@@ -136,12 +155,123 @@ def _build_partial_fn(sizing: dict, params: BloomParams, text_col: str, key_col:
                 "n_inserted": [bloom.n_inserted],
                 "n_new": [bloom.n_new],
                 "n_redundant": [bloom.n_redundant],
-                "bitmap": [bloom.serialize()],
+                # partials are ~1%-occupancy bitmaps: zlib-1 shrinks the
+                # shuffle/merge bytes 10-50x (the dominant build cost at
+                # large m); the final registry bitmap stays raw
+                "bitmap": [b"D" + zlib.compress(bloom.serialize(), 1)],
                 "hll": [hll.serialize()],
                 "cms": [cms.serialize()],
                 "tdigest": [td.serialize()],
                 "kll": [kll.serialize()],
             }
+        )
+
+    return fn
+
+
+def _build_partition_fn(sizing: dict, params: BloomParams, text_col: str, key_col: str,
+                        subtract_bits: bytes | None, subtract_meta: tuple | None):
+    """mapInPandas kernel: one *input partition* → one partial row per key.
+
+    The zero-shuffle build strategy: every task accumulates state for
+    every filter key over the documents it already holds (like the
+    categorizer holds every filter bitmap, and like the reference's
+    threads all inserting into shared filters,
+    BloomFilterGenerator.h:156-183).  The corpus never moves; only
+    sketch-sized partials do.
+
+    The Bloom partial is emitted in whichever representation is smaller
+    (tag byte + zlib payload):
+    - ``b"H"`` sparse: the task's *unique frame hashes* — no dense bitmap
+      is ever allocated in build tasks, so no 100s-of-MB page-fault /
+      scatter-write storms (measured: dense-per-task made 16 cores
+      *slower* than 4); the dense insert happens once per merge group.
+    - ``b"D"`` dense: the classic bitmap, when the task's hash set would
+      be larger (huge partitions).
+    """
+    from pyspark import TaskContext
+
+    w = params.shingle_w
+
+    def fn(batches):
+        sub = None
+        if subtract_bits is not None:
+            sm, sh_, sb = subtract_meta
+            sub = BloomSketch.deserialize(subtract_bits, sm, sh_, block_bits=sb)
+        hashes_acc: dict[str, list] = {}
+        state: dict[str, tuple] = {}
+        n_docs: dict[str, int] = {}
+        n_frames_tot: dict[str, int] = {}
+        for pdf in batches:
+            for fid, grp in pdf.groupby(key_col):
+                fid = str(fid)
+                if fid not in sizing:
+                    continue
+                if fid not in state:
+                    state[fid] = (
+                        HLLSketch(p=_HLL_P),
+                        CountMinSketch(width=_CMS_W, depth=_CMS_D),
+                        TDigestSketch(),
+                        KLLSketch(),
+                    )
+                    hashes_acc[fid] = []
+                    n_docs[fid] = 0
+                    n_frames_tot[fid] = 0
+                hll, cms, td, kll = state[fid]
+                frames, _offs, tok_hashes, tok_counts = batch_doc_shingles(
+                    grp[text_col].to_numpy(), w
+                )
+                if sub is not None and frames.size:
+                    frames = frames[~sub.contains_batch(frames)]
+                n_frames_tot[fid] += int(frames.size)
+                hashes_acc[fid].append(np.unique(frames))
+                hll.update_batch(frames)
+                cms.update_batch(tok_hashes)
+                lengths = tok_counts.astype(np.float64)
+                td.update_batch(lengths)
+                kll.update_batch(lengths)
+                n_docs[fid] += len(grp)
+        if not state:
+            return
+        ctx = TaskContext.get()
+        bucket = int(ctx.partitionId()) if ctx is not None else 0
+        rows = []
+        for fid, (hll, cms, td, kll) in state.items():
+            uniq = np.unique(np.concatenate(hashes_acc[fid]))
+            meta = sizing[fid]
+            n_new = int(uniq.size)
+            n_ins = n_frames_tot[fid]
+            if uniq.nbytes < meta["m_bits"] // 8:
+                payload = b"H" + zlib.compress(uniq.tobytes(), 1)
+            else:
+                bloom = BloomSketch(
+                    m_bits=meta["m_bits"],
+                    num_hashes=meta["num_hashes"],
+                    block_bits=params.block_bits,
+                )
+                bloom.update_batch(uniq)
+                payload = b"D" + zlib.compress(bloom.serialize(), 1)
+            rows.append(
+                (
+                    fid,
+                    bucket,
+                    n_docs[fid],
+                    n_ins,
+                    n_new,
+                    n_ins - n_new,
+                    payload,
+                    hll.serialize(),
+                    cms.serialize(),
+                    td.serialize(),
+                    kll.serialize(),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "filter_id", "bucket", "n_docs", "n_inserted", "n_new",
+                "n_redundant", "bitmap", "hll", "cms", "tdigest", "kll",
+            ],
         )
 
     return fn
@@ -155,21 +285,32 @@ def _merge_partials_fn(sizing: dict, out_schema, final: bool, params: BloomParam
         filter_id = str(key[0])
         meta = sizing[filter_id]
         m, h = meta["m_bits"], meta["num_hashes"]
-        bloom = BloomSketch(m_bits=m, num_hashes=h)
+        bloom = None  # densify lazily: sparse unions never touch a bitmap
+        saw_dense = False
+        sparse_parts: list[np.ndarray] = []
         hll = HLLSketch(p=_HLL_P)
         cms = CountMinSketch(width=_CMS_W, depth=_CMS_D)
         td = TDigestSketch()
         kll = KLLSketch()
-        n_docs = n_ins = 0
+        n_docs = n_ins = n_new = n_red = 0
         for _, row in pdf.iterrows():
-            bloom = bloom.merge(
-                BloomSketch.deserialize(
-                    bytes(row["bitmap"]), m, h,
-                    n_inserted=int(row["n_inserted"]),
-                    n_new=int(row["n_new"]),
-                    n_redundant=int(row["n_redundant"]),
+            payload = bytes(row["bitmap"])
+            tag, body = payload[:1], payload[1:]
+            if tag == b"H":
+                sparse_parts.append(
+                    np.frombuffer(zlib.decompress(body), dtype=np.uint64)
                 )
-            )
+            elif tag == b"D":
+                saw_dense = True
+                if bloom is None:
+                    bloom = BloomSketch(m_bits=m, num_hashes=h, block_bits=params.block_bits)
+                bloom.bits |= np.frombuffer(
+                    zlib.decompress(body), dtype=np.uint8
+                )
+            else:  # pragma: no cover - unknown tag
+                raise ValueError(f"unknown partial bitmap tag {tag!r}")
+            n_new += int(row["n_new"])
+            n_red += int(row["n_redundant"])
             if row["hll"] is not None:
                 hll = hll.merge(HLLSketch.deserialize(bytes(row["hll"]), p=_HLL_P))
             if row["cms"] is not None:
@@ -180,11 +321,31 @@ def _merge_partials_fn(sizing: dict, out_schema, final: bool, params: BloomParam
                 kll = kll.merge(KLLSketch.deserialize(bytes(row["kll"])))
             n_docs += int(row["n_docs"])
             n_ins += int(row["n_inserted"])
+        uniq = (
+            np.unique(np.concatenate(sparse_parts))
+            if sparse_parts
+            else np.empty(0, dtype=np.uint64)
+        )
+        if not final and bloom is None and uniq.nbytes < m // 8:
+            # pure-sparse union stays sparse: level-1 merges are then just
+            # sorted-set unions; the single densify happens at the final
+            # merge — one scatter pass per filter total
+            payload = b"H" + zlib.compress(uniq.tobytes(), 1)
+            n_new_out, n_red_out = int(uniq.size), n_ins - int(uniq.size)
+        else:
+            if bloom is None:
+                bloom = BloomSketch(m_bits=m, num_hashes=h, block_bits=params.block_bits)
+            if uniq.size:
+                bloom.update_batch(uniq)
+            payload = (
+                b"D" + zlib.compress(bloom.serialize(), 1) if not final else bloom.serialize()
+            )
+            n_new_out, n_red_out = n_new, n_red
         common = {
             "filter_id": [filter_id],
             "n_docs": [n_docs],
             "n_inserted": [n_ins],
-            "bitmap": [bloom.serialize()],
+            "bitmap": [payload],
             "hll": [hll.serialize()],
             "cms": [cms.serialize()],
             "tdigest": [td.serialize()],
@@ -195,21 +356,27 @@ def _merge_partials_fn(sizing: dict, out_schema, final: bool, params: BloomParam
                 {
                     **common,
                     "bucket": [int(key[1])],
-                    "n_new": [bloom.n_new],
-                    "n_redundant": [bloom.n_redundant],
+                    "n_new": [n_new_out],
+                    "n_redundant": [n_red_out],
                 }
             )[[f.name for f in PARTIAL_SCHEMA.fields]]
+        # pure-sparse lineage → num_entries is the EXACT distinct count
+        # (improves on the reference's scan-order counter, SURVEY §7.4);
+        # any dense partial in the ancestry degrades it to the documented
+        # additive overcount
+        num_entries = int(uniq.size) if (sparse_parts and not saw_dense) else n_new
         return pd.DataFrame(
             {
                 **common,
                 "m_bits": [m],
                 "num_hashes": [h],
+                "block_bits": [params.block_bits],
                 "shingle_w": [params.shingle_w],
                 "target_fpr": [params.fpr],
                 "expected_entries": [meta["expected_entries"]],
-                "num_entries": [bloom.n_new],
-                "redundant_entries": [bloom.n_redundant],
-                "approx_fpr": [bloom.approx_fpr()],
+                "num_entries": [num_entries],
+                "redundant_entries": [n_ins - num_entries],
+                "approx_fpr": [approx_fpr(m, num_entries, h)],
                 "occupancy_fpr": [bloom.fpr_from_occupancy()],
                 "distinct_frames_hll": [hll.estimate()],
             }
@@ -231,6 +398,7 @@ def build_filters(
     job_id: str | None = None,
     subtract: "tuple[bytes, int, int] | None" = None,
     keys: Iterable[str] | None = None,
+    expected_sizing: dict | None = None,
 ) -> DataFrame:
     """Build one Bloom filter (+ companion sketches) per value of key_col.
 
@@ -238,7 +406,7 @@ def build_filters(
     ``partials_path`` is set, per-bucket partials are checkpointed there and
     a re-invocation resumes, recomputing only missing (filter, bucket)
     groups — the north rule's mid-build resumability.
-    ``subtract`` = (bitmap_bytes, m_bits, num_hashes) veto filter.
+    ``subtract`` = (bitmap_bytes, m_bits, num_hashes[, block_bits]) veto filter.
     """
     from ..session import ensure_workers
 
@@ -251,34 +419,74 @@ def build_filters(
         docs = docs.filter(F.col(key_col).isin(list(keys)))
     docs = docs.filter(F.col(key_col).isNotNull() & F.col(text_col).isNotNull())
 
-    sizing = size_filters(docs, key_col, text_col, params)
+    # expected_sizing pins (m, h) externally — the progressive mode re-builds
+    # into a fixed-size bitmap across iterations so merges stay compatible
+    sizing = expected_sizing or size_filters(docs, key_col, text_col, params)
     if not sizing:
         return spark.createDataFrame([], REGISTRY_SCHEMA)
 
-    sub_bits, sub_meta = (subtract[0], (subtract[1], subtract[2])) if subtract else (None, None)
-
-    # --- stage 2: salted bucketed partial build -------------------------
-    bucketed = docs.select(
-        F.col(key_col).cast("string").alias("filter_id"),
-        F.col(text_col).alias(text_col),
-        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(build.num_buckets))
-        .cast("int")
-        .alias("bucket"),
+    sub_bits, sub_meta = (
+        (subtract[0], (subtract[1], subtract[2], subtract[3] if len(subtract) > 3 else 0))
+        if subtract
+        else (None, None)
     )
 
-    todo = bucketed
-    have_partials = None
-    if partials_path and os.path.exists(partials_path):
-        have_partials = spark.read.parquet(partials_path)
-        done_keys = have_partials.select("filter_id", "bucket").distinct()
-        todo = bucketed.join(done_keys, on=["filter_id", "bucket"], how="left_anti")
+    # --- stage 2: partial build ------------------------------------------
+    # Strategy pick (BuildConfig.strategy):
+    #  * "partition" (zero-shuffle): every task builds partials for every key
+    #    over the documents it already holds — corpus never moves, no skew
+    #    concern, memory/task = sum of all bitmaps.  The default while that
+    #    sum fits the task budget (same budget the categorizer broadcast
+    #    needs anyway).
+    #  * "bucketed" (salted shuffle): high-cardinality/huge filter sets —
+    #    docs shuffle to (key, salt-bucket) groups so each task holds ONE
+    #    bitmap; salting defuses zipf-skewed keys.
+    strategy = build.strategy
+    if strategy == "auto":
+        total_bits = sum(meta["m_bits"] for meta in sizing.values())
+        strategy = "partition" if total_bits <= build.partition_strategy_max_bits else "bucketed"
 
-    partial_fn = _build_partial_fn(sizing, params, text_col, "filter_id", sub_bits, sub_meta)
-    new_partials = (
-        todo.repartition(build.num_buckets, "filter_id", "bucket")
-        .groupBy("filter_id", "bucket")
-        .applyInPandas(partial_fn, schema=PARTIAL_SCHEMA)
-    )
+    if strategy == "partition":
+        base = docs.select(
+            F.col(key_col).cast("string").alias("filter_id"),
+            F.col(text_col).alias(text_col),
+        )
+        todo = base
+        if partials_path and os.path.exists(partials_path):
+            done_buckets = [
+                int(r["bucket"])
+                for r in spark.read.parquet(partials_path).select("bucket").distinct().collect()
+            ]
+            # partition ids are deterministic for the same input snapshot;
+            # recompute only missing partitions
+            from pyspark import TaskContext  # noqa: F401  (doc: bucket == pid)
+
+            todo = base.rdd.mapPartitionsWithIndex(
+                lambda pid, it: iter([]) if pid in set(done_buckets) else it,
+                preservesPartitioning=True,
+            ).toDF(base.schema)
+        part_fn = _build_partition_fn(sizing, params, text_col, "filter_id", sub_bits, sub_meta)
+        new_partials = todo.mapInPandas(part_fn, schema=PARTIAL_SCHEMA)
+    else:
+        bucketed = docs.select(
+            F.col(key_col).cast("string").alias("filter_id"),
+            F.col(text_col).alias(text_col),
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(build.num_buckets))
+            .cast("int")
+            .alias("bucket"),
+        )
+        todo = bucketed
+        if partials_path and os.path.exists(partials_path):
+            have_partials = spark.read.parquet(partials_path)
+            done_keys = have_partials.select("filter_id", "bucket").distinct()
+            todo = bucketed.join(done_keys, on=["filter_id", "bucket"], how="left_anti")
+
+        partial_fn = _build_partial_fn(sizing, params, text_col, "filter_id", sub_bits, sub_meta)
+        new_partials = (
+            todo.repartition(build.num_buckets, "filter_id", "bucket")
+            .groupBy("filter_id", "bucket")
+            .applyInPandas(partial_fn, schema=PARTIAL_SCHEMA)
+        )
 
     if partials_path:
         new_partials.write.mode("append").parquet(partials_path)
@@ -330,6 +538,7 @@ def load_registry(registry_df: DataFrame, order: Iterable[str] | None = None) ->
                 "filter_id": fid,
                 "m_bits": int(r["m_bits"]),
                 "num_hashes": int(r["num_hashes"]),
+                "block_bits": int(r.get("block_bits", 0)),
                 "shingle_w": int(r["shingle_w"]),
                 "bitmap": bytes(r["bitmap"]),
                 # per-filter FPR used by the binomial kernel

@@ -1,0 +1,196 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Training-data-pipeline extension (no reference counterpart).  Two paths:
+
+- ``brute_force_topk`` — exact cosine top-k.  Scale shape: queries are
+  broadcast (small side), each partition of the corpus computes a *local*
+  top-k with one BLAS matmul per Arrow batch, and only n_queries*k
+  candidate rows per partition reach the shuffle — never the full
+  |corpus| x |queries| cross product.
+- ``ivf_topk`` — IVF (inverted file) ANN: vectors are bucketed by nearest
+  of C fixed centroids; a query scans only its ``nprobe`` nearest
+  centroids' buckets.  Same local-top-k + tiny shuffle shape, corpus scan
+  reduced by ~C/nprobe.  Recall measured in pytest against brute force.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["brute_force_topk", "ivf_assign", "ivf_topk", "deterministic_centroids"]
+
+
+def _topk_schema(qid_field: T.StructField, cid_field: T.StructField) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("query_id", qid_field.dataType, False),
+            T.StructField("vec_id", cid_field.dataType, False),
+            T.StructField("cosine", T.DoubleType(), False),
+        ]
+    )
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def brute_force_topk(
+    spark: SparkSession,
+    corpus: DataFrame,
+    queries: list[tuple],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of each query against the corpus.
+
+    ``queries`` = [(query_id, vector), ...] — broadcast-sized by contract.
+    Local top-k per partition (np.argpartition over one matmul), then a
+    single global window re-rank over n_partitions*k candidates per query.
+    Ties broken by vec_id ascending for determinism.
+    """
+    from ..session import ensure_workers
+
+    ensure_workers(spark)
+    qids = [q[0] for q in queries]
+    qmat = _normalize(np.stack([np.asarray(q[1], dtype=np.float64) for q in queries]))
+    bc = spark.sparkContext.broadcast((qids, qmat))
+    schema = _topk_schema(corpus.schema[id_col], corpus.schema[id_col])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids, q = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            sims = mat @ q.T  # (n_vecs, n_queries)
+            kk = min(k, sims.shape[0])
+            # local top-k rows per query column
+            part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            out_q, out_v, out_s = [], [], []
+            for j, qid in enumerate(q_ids):
+                rows = part[:, j]
+                out_q.extend([qid] * len(rows))
+                out_v.extend(ids[rows])
+                out_s.extend(sims[rows, j])
+            yield pd.DataFrame(
+                {"query_id": out_q, "vec_id": out_v, "cosine": np.round(out_s, 6)}
+            )
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(run, schema=schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def deterministic_centroids(
+    corpus: DataFrame, n_centroids: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> np.ndarray:
+    """Fixed, data-dependent centroids without an iterative fit: the
+    ``n_centroids`` vectors whose ids hash lowest (a uniform sample that is
+    stable across partitionings — resume/retry safe).  One cheap pass;
+    k-means refinement is an offline nicety, not a correctness need."""
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")))
+        .limit(n_centroids)
+        .collect()
+    )
+    return _normalize(np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows]))
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (the IVF 'list')."""
+    from ..session import ensure_workers
+
+    spark = corpus.sparkSession
+    ensure_workers(spark)
+    bc = spark.sparkContext.broadcast(centroids)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(v: pd.Series) -> pd.Series:
+        c = bc.value
+        mat = _normalize(np.stack(v.to_numpy()).astype(np.float64))
+        return pd.Series((mat @ c.T).argmax(axis=1).astype(np.int32))
+
+    return corpus.withColumn("ivf_list", assign(vec_col))
+
+
+def ivf_topk(
+    spark: SparkSession,
+    corpus_assigned: DataFrame,
+    centroids: np.ndarray,
+    queries: list[tuple],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k scanning only each query's ``nprobe`` nearest IVF lists.
+
+    ``corpus_assigned`` = ivf_assign output (persist it; the assignment is
+    the 'index build').  The probe-list filter prunes the corpus scan
+    partition-style before the same local-top-k kernel as brute force.
+    """
+    from ..session import ensure_workers
+
+    ensure_workers(spark)
+    qids = [q[0] for q in queries]
+    qmat = _normalize(np.stack([np.asarray(q[1], dtype=np.float64) for q in queries]))
+    probe = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    wanted_lists = sorted({int(x) for x in probe.ravel()})
+    # per-list query membership, broadcast with the query matrix
+    bc = spark.sparkContext.broadcast((qids, qmat, {l: np.flatnonzero((probe == l).any(axis=1)) for l in wanted_lists}))
+    schema = _topk_schema(corpus_assigned.schema[id_col], corpus_assigned.schema[id_col])
+
+    pruned = corpus_assigned.filter(F.col("ivf_list").isin(wanted_lists))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids, q, list_queries = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_q, out_v, out_s = [], [], []
+            for lst, grp in pdf.groupby("ivf_list"):
+                qidx = list_queries.get(int(lst))
+                if qidx is None or qidx.size == 0:
+                    continue
+                ids = grp[id_col].to_numpy()
+                mat = _normalize(np.stack(grp[vec_col].to_numpy()).astype(np.float64))
+                sims = mat @ q[qidx].T
+                kk = min(k, sims.shape[0])
+                part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+                for jj, qi in enumerate(qidx):
+                    rows = part[:, jj]
+                    out_q.extend([q_ids[qi]] * len(rows))
+                    out_v.extend(ids[rows])
+                    out_s.extend(sims[rows, jj])
+            if out_q:
+                yield pd.DataFrame(
+                    {"query_id": out_q, "vec_id": out_v, "cosine": np.round(out_s, 6)}
+                )
+
+    cand = pruned.select(id_col, vec_col, "ivf_list").mapInPandas(run, schema=schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

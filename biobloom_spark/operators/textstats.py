@@ -1,0 +1,155 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting.
+
+Training-data-pipeline extensions (no bcgsc/biobloom counterpart — its
+only per-sequence statistic is the k-mer frame count).  Everything that is
+pure arithmetic stays JVM-side (SQL-oracle-checkable); the n-gram profile
+scorer reuses the engine's categorizer machinery — language ID *is*
+multi-filter classification, which is exactly why BioBloom's design maps
+onto webtext curation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import BloomParams, CategorizerConfig, ScoringConfig
+
+__all__ = [
+    "token_stats",
+    "quality_score",
+    "doc_fingerprints",
+    "train_language_profiles",
+    "language_id",
+]
+
+#: BPE-ish word/piece pattern: word bodies, numbers, or single
+#: non-space symbols — identical regex shipped to the SQL oracle
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace and BPE-ish token counts + char count, all JVM-side."""
+    from ..sources.tables import tokens_col
+
+    ws = tokens_col(text_col)
+    bpe = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_PATTERN), 0)
+    return docs.withColumns(
+        {
+            "n_chars_text": F.length(text_col),
+            "n_ws_tokens": F.size(ws),
+            "n_bpe_tokens": F.size(bpe),
+        }
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + composite score in [0,1].
+
+    Features (all exact arithmetic → oracle-checkable): mean word length,
+    alpha ratio, digit ratio, punctuation ratio, whitespace-token count,
+    type-token ratio (distinct/total tokens).  Composite = product of
+    clamped feature transforms — monotone, deterministic, documented here
+    rather than learned.
+    """
+    from ..sources.tables import tokens_col
+
+    ws = tokens_col(text_col)
+    n_tok = F.size(ws)
+    n_chars = F.length(text_col)
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    alpha = F.length(F.regexp_replace(text_col, r"[^A-Za-z]", ""))
+    digits = F.length(F.regexp_replace(text_col, r"[^0-9]", ""))
+    punct = F.length(F.regexp_replace(text_col, r"[^.,;:!?]", ""))
+    distinct_tok = F.size(F.array_distinct(ws))
+    d = docs.withColumns(
+        {
+            "n_tokens": n_tok,
+            "mean_word_len": F.round(
+                (n_chars - F.greatest(n_tok - 1, F.lit(0))) / F.greatest(n_tok, F.lit(1)), 6
+            ),
+            "alpha_ratio": F.round(alpha / safe_chars, 6),
+            "digit_ratio": F.round(digits / safe_chars, 6),
+            "punct_ratio": F.round(punct / safe_chars, 6),
+            "type_token_ratio": F.round(distinct_tok / F.greatest(n_tok, F.lit(1)), 6),
+        }
+    )
+    # composite: long enough, mostly alphabetic, not digit/punct spam,
+    # some lexical diversity
+    len_term = F.least(F.col("n_tokens") / F.lit(64.0), F.lit(1.0))
+    alpha_term = F.col("alpha_ratio")
+    digit_term = F.lit(1.0) - F.least(F.col("digit_ratio") * 4, F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(F.col("punct_ratio") * 4, F.lit(1.0))
+    ttr_term = F.least(F.col("type_token_ratio") * 2, F.lit(1.0))
+    return d.withColumn(
+        "quality",
+        F.round(len_term * alpha_term * digit_term * punct_term * ttr_term, 6),
+    )
+
+
+def doc_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    w: int = 3, k: int = 8,
+) -> DataFrame:
+    """Winnowing-style fingerprint: the k smallest distinct shingle hashes
+    per document (order-stable array<bigint>).
+
+    Containment-robust document identity (two docs sharing most content
+    share most fingerprint slots), unlike a whole-text hash.  JVM-side:
+    shingles via transform/slice, hashes via xxhash64, bottom-k via
+    array_sort + slice — no Python.
+    """
+    from ..sources.tables import tokens_col
+
+    d = docs.withColumn("__toks", tokens_col(text_col))
+    n_frames = F.greatest(F.lit(0), F.size("__toks") - F.lit(w - 1))
+    idx = F.when(n_frames > 0, F.sequence(F.lit(1), n_frames)).otherwise(
+        F.array().cast("array<int>")
+    )
+    hashes = F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice("__toks", i, w)))
+    )
+    return d.select(
+        id_col,
+        F.slice(F.array_sort(F.array_distinct(hashes)), 1, k).alias("fingerprint"),
+    )
+
+
+def train_language_profiles(
+    spark: SparkSession,
+    docs: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    params: BloomParams | None = None,
+):
+    """Language-ID 'training' = the maker: one Bloom filter per language
+    over token shingles.  Returns the broadcastable filter list."""
+    from .maker import build_filters, load_registry
+
+    reg = build_filters(
+        spark, docs, key_col=lang_col, text_col=text_col, id_col=id_col, params=params
+    )
+    return load_registry(reg)
+
+
+def language_id(
+    spark: SparkSession,
+    docs: DataFrame,
+    profiles: list[dict],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Language ID = besthit categorization against per-lang profiles
+    (argmax of the simple-score kernel; ties → multiMatch).
+
+    This is the reference's BESTHIT mode (BioBloomClassifier.cpp:1194-1218)
+    applied to the webtext domain — per SURVEY §1, the whole BioBloom
+    pipeline *is* an n-gram language classifier under renaming.
+    """
+    from .categorizer import categorize
+
+    cfg = CategorizerConfig(mode="besthit", scoring=ScoringConfig(method="simple"))
+    res = categorize(spark, docs, profiles, cfg, id_col=id_col, text_col=text_col)
+    return res.select(id_col, F.col("assigned").alias("pred_lang"), "best_score")

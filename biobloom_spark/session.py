@@ -51,6 +51,16 @@ def get_spark(
 ) -> SparkSession:
     """Opinionated local-mode session (tests/bench); on a real cluster use
     spark-submit and your own session config."""
+    # glibc tuning for the Arrow workers: this sandbox VM services fresh
+    # page faults extremely slowly (~150 MB/s first-touch), so the default
+    # mmap-then-free behavior for >128 KiB numpy buffers causes refault
+    # storms that serialize across workers (measured 6x kernel slowdown at
+    # 4-way concurrency).  Pinning the thresholds makes glibc reuse heap
+    # chunks instead.  Must be set before the JVM (and its python workers)
+    # spawn; harmless elsewhere.
+    for var in ("MALLOC_MMAP_THRESHOLD_", "MALLOC_TRIM_THRESHOLD_"):
+        os.environ.setdefault(var, "2147483647")
+
     n = cores if isinstance(cores, str) else str(cores)
     builder = (
         SparkSession.builder.master(f"local[{n}]")
@@ -65,6 +75,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # same malloc tuning for executors on a real cluster
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "2147483647")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "2147483647")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

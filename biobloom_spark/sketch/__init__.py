@@ -5,7 +5,7 @@ contract so the Spark layer can build partials per bucket inside Arrow UDFs
 and reduce them associatively (SURVEY.md §2.11).
 """
 
-from .bloom import BloomSketch, approx_fpr, optimal_hash_num, optimal_size_bits
+from .bloom import BloomSketch, approx_fpr, blocked_size_bits, optimal_hash_num, optimal_size_bits
 from .countmin import CountMinSketch
 from .hashing import bloom_indices, hash_bytes, hash_tokens, shingle_hashes, splitmix64
 from .hll import HLLSketch
@@ -19,6 +19,7 @@ __all__ = [
     "KLLSketch",
     "TDigestSketch",
     "approx_fpr",
+    "blocked_size_bits",
     "optimal_hash_num",
     "optimal_size_bits",
     "bloom_indices",

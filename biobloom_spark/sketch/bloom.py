@@ -34,6 +34,7 @@ _BIT_LUT = (np.uint8(1) << np.arange(8, dtype=np.uint8))  # bit masks by idx&7
 __all__ = [
     "optimal_hash_num",
     "optimal_size_bits",
+    "blocked_size_bits",
     "approx_fpr",
     "BloomSketch",
 ]
@@ -56,6 +57,22 @@ def optimal_size_bits(n_entries: int, fpr: float, num_hashes: int) -> int:
     return ((m + 63) // 64) * 64
 
 
+def blocked_size_bits(n_entries: int, fpr: float, num_hashes: int, block_bits: int = 512) -> int:
+    """Sizing for the cache-line *blocked* variant (Putze, Sanders &
+    Singler 2007, "Cache-, Hash- and Space-Efficient Bloom Filters"):
+    all h probes of an item land in one block, so a probe costs one DRAM
+    line instead of h — the difference between 0.5 and 0.8+ scaling
+    efficiency at 32 cores (measured; see BENCH.md).
+
+    The block-occupancy variance costs FPR; sizing at fpr/4 (~+30% bits)
+    more than covers the penalty at 512-bit blocks for realistic loads —
+    validated empirically by the FPR-bound tests, which probe the *built*
+    filter, not the formula.
+    """
+    m = optimal_size_bits(n_entries, fpr / 4.0, num_hashes)
+    return ((m + block_bits - 1) // block_bits) * block_bits
+
+
 def approx_fpr(m_bits: int, n_entries: int, num_hashes: int) -> float:
     """(1 - (1 - 1/m)^(h*n))^h (BloomFilterInfo.cpp:172-178)."""
     if m_bits <= 0:
@@ -67,7 +84,14 @@ def approx_fpr(m_bits: int, n_entries: int, num_hashes: int) -> float:
 
 @dataclass
 class BloomSketch:
-    """Fixed-parameter Bloom filter with batch insert/contains and OR-merge."""
+    """Fixed-parameter Bloom filter with batch insert/contains and OR-merge.
+
+    ``block_bits=0`` is the classic layout (h independent positions over
+    the whole array, the reference's semantics).  ``block_bits=512`` is the
+    cache-line blocked layout: ``h1`` selects a 64-byte block, the h bit
+    offsets come from 9-bit slices of ``h2`` — one memory line touched per
+    probe.  Same serialization, merge, and counter semantics either way.
+    """
 
     m_bits: int
     num_hashes: int
@@ -75,10 +99,19 @@ class BloomSketch:
     n_inserted: int = 0  # frames inserted (incl. duplicates)
     n_new: int = 0  # insertAndCheck "was absent" count → totalEntries
     n_redundant: int = 0  # insertAndCheck "already present" → redundancy
+    block_bits: int = 0  # 0 = classic; 512 = cache-line blocked
 
     def __post_init__(self) -> None:
         if self.m_bits % 64:
             raise ValueError("m_bits must be a multiple of 64")
+        if self.block_bits:
+            if self.block_bits & (self.block_bits - 1):
+                raise ValueError("block_bits must be a power of two")
+            if self.m_bits % self.block_bits:
+                raise ValueError("m_bits must be a multiple of block_bits")
+            bpb = self.block_bits.bit_length() - 1
+            if self.num_hashes * bpb > 64:
+                raise ValueError("num_hashes*log2(block_bits) must fit in 64 bits")
         if self.bits is None:
             self.bits = np.zeros(self.m_bits // 8, dtype=np.uint8)
         else:
@@ -88,9 +121,30 @@ class BloomSketch:
 
     # -- construction -----------------------------------------------------
     @classmethod
-    def for_capacity(cls, n_entries: int, fpr: float, num_hashes: int | None = None) -> "BloomSketch":
+    def for_capacity(
+        cls, n_entries: int, fpr: float, num_hashes: int | None = None, block_bits: int = 0
+    ) -> "BloomSketch":
         h = num_hashes if num_hashes is not None else optimal_hash_num(fpr)
-        return cls(m_bits=optimal_size_bits(n_entries, fpr, h), num_hashes=h)
+        if block_bits:
+            m = blocked_size_bits(n_entries, fpr, h, block_bits)
+        else:
+            m = optimal_size_bits(n_entries, fpr, h)
+        return cls(m_bits=m, num_hashes=h, block_bits=block_bits)
+
+    def _blocked_positions(self, h1: np.ndarray, h2: np.ndarray):
+        """Yield bit positions (int64) per hash fn, all within h1's block."""
+        n_blocks = self.m_bits // self.block_bits
+        bpb = self.block_bits.bit_length() - 1
+        base = (h1 % np.uint64(n_blocks)).astype(np.int64) * np.int64(self.block_bits)
+        off_mask = np.uint64(self.block_bits - 1)
+        for i in range(self.num_hashes):
+            off = ((h2 >> np.uint64(bpb * i)) & off_mask).astype(np.int64)
+            yield base + off
+
+    def _positions(self, h1: np.ndarray, h2: np.ndarray):
+        if self.block_bits:
+            return self._blocked_positions(h1, h2)
+        return km_indices_iter(h1, h2, self.num_hashes, self.m_bits)
 
     # -- update -----------------------------------------------------------
     def update_batch(self, hashes: np.ndarray) -> int:
@@ -107,7 +161,7 @@ class BloomSketch:
         uniq = np.unique(hashes)
         h1, h2 = km_probe(uniq)
         present = np.ones(uniq.size, dtype=bool)
-        for idx in km_indices_iter(h1, h2, self.num_hashes, self.m_bits):
+        for idx in self._positions(h1, h2):
             byte_i = idx >> 3
             bit_m = _BIT_LUT[idx & 7]
             present &= (self.bits[byte_i] & bit_m) != 0
@@ -130,12 +184,52 @@ class BloomSketch:
 
     def contains_probe(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
         """Membership given a precomputed K-M probe pair — lets the
-        categorizer hash each batch once and test against every filter."""
-        out = np.ones(h1.size, dtype=bool)
-        for idx in km_indices_iter(h1, h2, self.num_hashes, self.m_bits):
-            out &= (self.bits[idx >> 3] & _BIT_LUT[idx & 7]) != 0
-            if not out.any():
-                break
+        categorizer hash each batch once and test against every filter.
+
+        Survivor compaction: after each probe level only still-alive
+        candidates are gathered forward.  Non-members die off ~occupancy
+        per level, cutting random DRAM touches from h*n to ~2*n — the
+        bandwidth bottleneck at high core counts.
+        """
+        n = h1.size
+        out = np.zeros(n, dtype=bool)
+        if n == 0:
+            return out
+        bits = self.bits
+        if self.block_bits:
+            n_blocks = self.m_bits // self.block_bits
+            bpb = self.block_bits.bit_length() - 1
+            off_mask = np.uint64(self.block_bits - 1)
+            base = (h1 % np.uint64(n_blocks)).astype(np.int64) * np.int64(self.block_bits)
+            rest = h2
+            alive = None
+            for level in range(self.num_hashes):
+                idx = base + ((rest >> np.uint64(bpb * level)) & off_mask).astype(np.int64)
+                test = (bits[idx >> 3] & _BIT_LUT[idx & 7]) != 0
+                keep = np.flatnonzero(test)
+                alive = keep if alive is None else alive[keep]
+                if alive.size == 0:
+                    return out
+                if level + 1 < self.num_hashes:
+                    base = base[keep]
+                    rest = rest[keep]
+            out[alive] = True
+            return out
+        m = np.int64(self.m_bits)
+        idx = (h1 % np.uint64(self.m_bits)).astype(np.int64)
+        step = (h2 % np.uint64(self.m_bits)).astype(np.int64)
+        alive = None  # None means "all positions"
+        for level in range(self.num_hashes):
+            test = (bits[idx >> 3] & _BIT_LUT[idx & 7]) != 0
+            keep = np.flatnonzero(test)
+            alive = keep if alive is None else alive[keep]
+            if alive.size == 0:
+                return out
+            if level + 1 < self.num_hashes:
+                idx = idx[keep] + step[keep]
+                idx[idx >= m] -= m
+                step = step[keep]
+        out[alive] = True
         return out
 
     # -- merge ------------------------------------------------------------
@@ -147,7 +241,11 @@ class BloomSketch:
         delta documented in SURVEY.md §7.4; pair with an HLL for exact-ish
         distinct counts. ``popcount``-derived stats stay exact.
         """
-        if (self.m_bits, self.num_hashes) != (other.m_bits, other.num_hashes):
+        if (self.m_bits, self.num_hashes, self.block_bits) != (
+            other.m_bits,
+            other.num_hashes,
+            other.block_bits,
+        ):
             raise ValueError("cannot merge Bloom sketches with different params")
         return BloomSketch(
             m_bits=self.m_bits,
@@ -156,6 +254,7 @@ class BloomSketch:
             n_inserted=self.n_inserted + other.n_inserted,
             n_new=self.n_new + other.n_new,
             n_redundant=self.n_redundant + other.n_redundant,
+            block_bits=self.block_bits,
         )
 
     # -- stats ------------------------------------------------------------
@@ -194,10 +293,23 @@ class BloomSketch:
         return self.bits.tobytes()
 
     @classmethod
-    def deserialize(cls, payload: bytes, m_bits: int, num_hashes: int, **counters) -> "BloomSketch":
+    def deserialize(
+        cls,
+        payload: bytes,
+        m_bits: int,
+        num_hashes: int,
+        copy: bool = True,
+        block_bits: int = 0,
+        **counters,
+    ) -> "BloomSketch":
+        """``copy=False`` gives a zero-copy read-only view — use for
+        probe-only consumers (the categorizer re-materializing a 10 MB
+        bitmap per Arrow batch is pure memcpy waste)."""
+        arr = np.frombuffer(payload, dtype=np.uint8)
         return cls(
             m_bits=m_bits,
             num_hashes=num_hashes,
-            bits=np.frombuffer(payload, dtype=np.uint8).copy(),
+            bits=arr.copy() if copy else arr,
+            block_bits=block_bits,
             **counters,
         )

@@ -40,6 +40,7 @@ REGISTRY_SCHEMA = T.StructType(
         # [user_input_options] analog (BloomFilterInfo.cpp:81-97)
         T.StructField("m_bits", T.LongType(), False),
         T.StructField("num_hashes", T.IntegerType(), False),
+        T.StructField("block_bits", T.IntegerType(), False),
         T.StructField("shingle_w", T.IntegerType(), False),
         T.StructField("target_fpr", T.DoubleType(), False),
         T.StructField("expected_entries", T.LongType(), False),
@@ -126,6 +127,20 @@ def write_table(df: DataFrame, path: str, mode: str = "overwrite", partition_by=
         w.parquet(path)
 
 
+def tokens_col(col):
+    """Whitespace token array, value-identical to Python ``str.split()``.
+
+    trim+split instead of a ``filter()`` lambda: higher-order functions are
+    interpreted (no whole-stage codegen) and measured 9x slower; Java regex
+    split drops trailing empties, trim removes the leading one, and the
+    empty string maps to an empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
 def docs_with_frames(docs: DataFrame, text_col: str, w: int) -> DataFrame:
     """Add ``n_tokens``/``n_frames`` columns, all JVM-side.
 
@@ -134,6 +149,5 @@ def docs_with_frames(docs: DataFrame, text_col: str, w: int) -> DataFrame:
     (calcExpectedEntries analog, BloomFilterGenerator.h:108-141) agrees
     byte-for-byte with the Arrow build path.
     """
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
-    d = docs.withColumn("n_tokens", F.size(toks))
+    d = docs.withColumn("n_tokens", F.size(tokens_col(text_col)))
     return d.withColumn("n_frames", F.greatest(F.lit(0), F.col("n_tokens") - F.lit(w - 1)))

@@ -1,0 +1,54 @@
+"""Structured Streaming categorization.
+
+The reference is a batch tool over file streams (SURVEY.md §2.10 — no
+watermarks/state), so batch parity needs nothing here; this module is the
+continuous-ingest extension a web-crawl pipeline wants: pages arrive as
+files (or Kafka), each micro-batch is scored against the broadcast filter
+registry with the *same* zero-shuffle Arrow pass as the batch categorizer,
+and results stream out partitioned by assignment (the demultiplexed sink)
+— classification is stateless, so no watermark is needed; exactly-once
+comes from the sink/checkpoint contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import CategorizerConfig
+
+__all__ = ["categorize_stream", "stream_from_parquet_dir"]
+
+
+def categorize_stream(
+    spark: SparkSession,
+    stream: DataFrame,
+    filters: list[dict],
+    cfg: CategorizerConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming DataFrame → streaming classification results.
+
+    Identical output schema and semantics to ``operators.categorize`` —
+    mapInPandas is stateless, so the same scoring closure runs per
+    micro-batch unchanged."""
+    from ..operators.categorizer import categorize
+
+    if not stream.isStreaming:
+        raise ValueError("categorize_stream expects a streaming DataFrame")
+    return categorize(spark, stream, filters, cfg, id_col=id_col, text_col=text_col)
+
+
+def stream_from_parquet_dir(
+    spark: SparkSession, path: str, schema=None, max_files_per_trigger: int = 16
+) -> DataFrame:
+    """File-source stream over a parquet directory (the crawl-drop layout)."""
+    reader = spark.readStream.format("parquet").option(
+        "maxFilesPerTrigger", max_files_per_trigger
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        static = spark.read.parquet(path)
+        reader = reader.schema(static.schema)
+    return reader.load(path)

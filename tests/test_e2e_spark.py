@@ -113,7 +113,7 @@ class TestMaker:
         reg_de_minus_en = load_registry(
             build_filters(
                 spark, corpus, id_col="url", keys=["de"],
-                subtract=(reg_en["bitmap"], reg_en["m_bits"], reg_en["num_hashes"]),
+                subtract=(reg_en["bitmap"], reg_en["m_bits"], reg_en["num_hashes"], reg_en["block_bits"]),
             )
         )[0]
         reg_de = load_registry(build_filters(spark, corpus, id_col="url", keys=["de"]))[0]
@@ -224,3 +224,21 @@ class TestCorpusSparkParity:
         pdf = pdf.sort_values("url").reset_index(drop=True)
         assert list(sdf["text"]) == list(pdf["text"])
         assert list(sdf["lang"]) == list(pdf["lang"])
+
+
+class TestFusedSummary:
+    def test_fused_matches_classic(self, spark, corpus, registry):
+        from biobloom_spark.operators.categorizer import summarize_fused
+
+        classic = {
+            r["filter_id"]: (r["hits"], r["unique"], r["shared"])
+            for r in summarize(
+                categorize(spark, corpus, registry, id_col="url"),
+                [f["filter_id"] for f in registry],
+            ).collect()
+        }
+        fused = {
+            r["filter_id"]: (r["hits"], r["unique"], r["shared"])
+            for r in summarize_fused(spark, corpus, registry, id_col="url").collect()
+        }
+        assert classic == fused

@@ -1,0 +1,223 @@
+"""Tests for the training-data pipeline operators: dedup, similarity,
+text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from biobloom_spark.corpus import generate_corpus_pandas
+from biobloom_spark.operators.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+    simhash_signatures,
+)
+from biobloom_spark.operators.multimodal import (
+    decode_media_meta,
+    extract_features,
+    sample_frames,
+    synthesize_media,
+)
+from biobloom_spark.operators.similarity import (
+    brute_force_topk,
+    deterministic_centroids,
+    ivf_assign,
+    ivf_topk,
+)
+from biobloom_spark.operators.textstats import (
+    doc_fingerprints,
+    language_id,
+    quality_score,
+    token_stats,
+    train_language_profiles,
+)
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    """60 base docs + planted exact dup + planted near dup."""
+    pdf = generate_corpus_pandas(60, seed=31, langs=("en", "de"), mean_tokens=60)
+    texts = list(pdf["text"])
+    texts.append(texts[0])  # exact dup of doc 0 → id 60
+    toks = texts[1].split()
+    toks[len(toks) // 2] = "MUTATED"
+    texts.append(" ".join(toks))  # near dup of doc 1 → id 61
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).cache()
+
+
+class TestDedup:
+    def test_exact_dedup(self, spark, dup_docs):
+        res = exact_dedup(dup_docs).cache()
+        groups = res.groupBy("dup_group").count().filter(F.col("count") > 1).collect()
+        assert len(groups) == 1
+        canon = res.filter(~F.col("is_canonical")).collect()
+        assert [r["doc_id"] for r in canon] == [60]
+
+    def test_ngram_jaccard_exact_pairs(self, spark, dup_docs):
+        pairs = ngram_jaccard_pairs(dup_docs, threshold=0.5).collect()
+        got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+        assert got[(0, 60)] == 1.0  # exact dup
+        assert (1, 61) in got and got[(1, 61)] > 0.8  # near dup
+        assert len(got) == 2
+
+    def test_minhash_signature_deterministic(self, spark, dup_docs):
+        s1 = {r["doc_id"]: r["signature"] for r in minhash_signatures(dup_docs).collect()}
+        s2 = {r["doc_id"]: r["signature"] for r in minhash_signatures(dup_docs).collect()}
+        assert s1 == s2
+        assert s1[0] == s1[60]  # identical docs → identical signatures
+
+    def test_minhash_lsh_finds_planted_dups(self, spark, dup_docs):
+        pairs = minhash_lsh_pairs(dup_docs, threshold=0.7).collect()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (0, 60) in got
+        assert (1, 61) in got
+
+    def test_minhash_estimates_jaccard(self, spark, dup_docs):
+        exact = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(dup_docs, threshold=0.5).collect()
+        }
+        est = {
+            (r["id_a"], r["id_b"]): r["est_jaccard"]
+            for r in minhash_lsh_pairs(dup_docs, threshold=0.5).collect()
+        }
+        for pair, j in exact.items():
+            assert pair in est
+            assert abs(est[pair] - j) < 0.15  # 128 perms → ~0.09 std
+
+    def test_simhash_near_dups(self, spark, dup_docs):
+        sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(dup_docs).collect()}
+        assert sigs[0] == sigs[60]
+        ham = bin(sigs[1] ^ sigs[61]).count("1")
+        assert ham <= 12  # 3 of ~60 shingles changed -> small but nonzero
+        dups = simhash_near_dups(dup_docs, max_hamming=12, blocks=16).collect()
+        got = {(r["id_a"], r["id_b"]) for r in dups}
+        assert (0, 60) in got and (1, 61) in got
+
+    def test_embedding_near_dups(self, spark, sf_dir):
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        # plant a duplicate vector
+        first = embs.first()
+        dup = spark.createDataFrame(
+            [(99999, first["embedding"], first["label"])], embs.schema
+        )
+        res = embedding_near_dups(embs.union(dup), threshold=0.999).collect()
+        got = {(r["id_a"], r["id_b"]) for r in res}
+        assert (first["vec_id"], 99999) in got
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def embs(self, spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+    def test_brute_force_matches_numpy_oracle(self, spark, embs):
+        pdf = embs.toPandas()
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        queries = [(int(pdf["vec_id"][i]), pdf["embedding"][i]) for i in range(3)]
+        res = brute_force_topk(spark, embs, queries, k=5).collect()
+        for qid, qvec in queries:
+            q = np.asarray(qvec) / np.linalg.norm(qvec)
+            sims = mat @ q
+            order = np.lexsort((pdf["vec_id"].to_numpy(), -np.round(sims, 6)))[:5]
+            expect = [int(pdf["vec_id"][j]) for j in order]
+            got = [r["vec_id"] for r in sorted(res, key=lambda r: r["rank"]) if r["query_id"] == qid]
+            assert got == expect, qid
+
+    def test_ivf_recall(self, spark, embs):
+        cents = deterministic_centroids(embs, 16)
+        assigned = ivf_assign(embs, cents).cache()
+        assert assigned.select("ivf_list").distinct().count() > 4
+        pdf = embs.limit(10).toPandas()
+        queries = [(int(r.vec_id), r.embedding) for r in pdf.itertuples()]
+        exact = brute_force_topk(spark, embs, queries, k=5).collect()
+        approx = ivf_topk(spark, assigned, cents, queries, k=5, nprobe=6).collect()
+        exact_sets = {}
+        for r in exact:
+            exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+        hits = total = 0
+        for r in approx:
+            total += 1
+            hits += r["vec_id"] in exact_sets[r["query_id"]]
+        assert total > 0
+        assert hits / (5 * len(queries)) >= 0.5  # nprobe=6/16 lists
+
+
+class TestTextStats:
+    def test_token_stats(self, spark):
+        df = spark.createDataFrame([(1, "Hello world, 42 times!")], "doc_id long, text string")
+        r = token_stats(df).first()
+        assert r["n_ws_tokens"] == 4
+        # BPE-ish: Hello world , 42 times !  → 6
+        assert r["n_bpe_tokens"] == 6
+
+    def test_quality_score_orders_sanely(self, spark):
+        good = "the quick brown fox jumps over a lazy dog " * 8
+        spam = "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 " * 4
+        repet = "buy buy buy buy buy buy buy buy " * 8
+        df = spark.createDataFrame(
+            [(1, good), (2, spam), (3, repet)], "doc_id long, text string"
+        )
+        q = {r["doc_id"]: r["quality"] for r in quality_score(df).collect()}
+        assert q[1] > q[2] and q[1] > q[3]
+
+    def test_fingerprints_stable_and_containment(self, spark, dup_docs):
+        fp = {r["doc_id"]: tuple(r["fingerprint"]) for r in doc_fingerprints(dup_docs).collect()}
+        assert fp[0] == fp[60]
+        shared = len(set(fp[1]) & set(fp[61]))
+        assert shared >= 6  # near-dup shares most of its bottom-8 sketch
+
+    def test_language_id_accuracy(self, spark):
+        from biobloom_spark.corpus import generate_corpus
+
+        corpus = generate_corpus(
+            spark, 300, seed=77, langs=("en", "de", "fr"), shared_frac=0.2, num_partitions=4
+        ).cache()
+        profiles = train_language_profiles(spark, corpus, id_col="url")
+        pred = language_id(spark, corpus, profiles, id_col="url")
+        joined = pred.join(corpus.select("url", "lang"), on="url")
+        acc = joined.filter(F.col("pred_lang") == F.col("lang")).count() / joined.count()
+        assert acc > 0.9
+
+
+class TestMultimodal:
+    @pytest.fixture(scope="class")
+    def media(self, spark):
+        rows = [
+            (0, synthesize_media(0, 0, 640, 480, 1)),     # image
+            (1, synthesize_media(1, 2, 320, 240, 100)),   # video
+            (2, b"NOTMEDIA"),                              # corrupt
+            (3, None),                                     # null
+        ]
+        return spark.createDataFrame(rows, "doc_id long, media binary").cache()
+
+    def test_stub_decoder_raises(self, spark, media):
+        with pytest.raises(Exception, match="NotImplementedError|codec"):
+            decode_media_meta(media, decoder="stub").collect()
+
+    def test_fake_decode_meta(self, spark, media):
+        res = {r["doc_id"]: r["media_meta"] for r in decode_media_meta(media, decoder="fake").collect()}
+        assert res[0]["kind"] == "image" and res[0]["width"] == 640
+        assert res[1]["kind"] == "video" and res[1]["n_frames"] == 100
+        assert res[2]["valid"] is False and res[3]["valid"] is False
+
+    def test_fake_features_shape_and_determinism(self, spark, media):
+        r1 = {r["doc_id"]: r["features"] for r in extract_features(media, dim=16, decoder="fake").collect()}
+        r2 = {r["doc_id"]: r["features"] for r in extract_features(media, dim=16, decoder="fake").collect()}
+        assert r1[0] == r2[0] and len(r1[0]) == 16
+        assert abs(sum(x * x for x in r1[0]) - 1.0) < 1e-5
+        assert r1[2] is None and r1[3] is None
+
+    def test_frame_sampling_fanout(self, spark, media):
+        frames = sample_frames(media, every_n=10, decoder="fake").collect()
+        assert {r["doc_id"] for r in frames} == {1}  # only the video row
+        assert sorted(r["frame_no"] for r in frames) == list(range(0, 100, 10))

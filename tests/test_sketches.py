@@ -275,3 +275,46 @@ class TestQuantiles:
         back = KLLSketch.deserialize(s.serialize())
         assert back.n == s.n
         assert abs(back.quantile(0.5) - s.quantile(0.5)) < 1e-9
+
+
+class TestBlockedBloom:
+    def test_fpr_within_bound(self):
+        from biobloom_spark.sketch import blocked_size_bits
+
+        n, p = 50_000, 0.0078125
+        train, probe = _rand_hashes(n, 44), _rand_hashes(8 * n, 45)
+        bf = BloomSketch.for_capacity(n, p, block_bits=512)
+        assert bf.m_bits % 512 == 0
+        assert bf.m_bits == blocked_size_bits(n, p, 7)
+        bf.update_batch(train)
+        train_set = set(train.tolist())
+        novel = np.asarray([x for x in probe.tolist() if x not in train_set], dtype=np.uint64)
+        measured = bf.contains_batch(novel).mean()
+        assert measured <= p, (measured, p)  # the north-rule bound
+
+    def test_no_false_negatives_and_merge(self):
+        h = _rand_hashes(20_000, 46)
+        parts = _partitions(h, [7000, 14000])
+        mk = lambda arr: (lambda b: (b.update_batch(arr), b)[1])(
+            BloomSketch(m_bits=512 * 1024, num_hashes=7, block_bits=512)
+        )
+        a, b, c = (mk(p_) for p_ in parts)
+        merged = a.merge(b).merge(c)
+        whole = mk(h)
+        assert np.array_equal(merged.bits, whole.bits)
+        assert merged.contains_batch(h).all()
+
+    def test_classic_and_blocked_incompatible(self):
+        a = BloomSketch(m_bits=512 * 16, num_hashes=4, block_bits=512)
+        b = BloomSketch(m_bits=512 * 16, num_hashes=4, block_bits=0)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            a.merge(b)
+
+    def test_serde_roundtrip(self):
+        bf = BloomSketch(m_bits=512 * 64, num_hashes=7, block_bits=512)
+        bf.update_batch(_rand_hashes(1000, 47))
+        back = BloomSketch.deserialize(bf.serialize(), bf.m_bits, bf.num_hashes, block_bits=512)
+        assert np.array_equal(back.bits, bf.bits)
+        assert back.contains_batch(_rand_hashes(1000, 47)).all()
