@@ -43,10 +43,11 @@ class BloomParams:
     fpr: float = DEFAULT_FPR
     num_hashes: int | None = None  # None → optimal for fpr
     shingle_w: int = DEFAULT_SHINGLE_W
-    #: 512 = cache-line blocked layout (the 100 TB default: one DRAM line
-    #: per probe, sized with margin so measured FPR stays <= fpr);
-    #: 0 = the reference's classic layout (format parity)
-    block_bits: int = 512
+    #: Bloom layout: 64 = single-word blocked (default; one gather/scatter
+    #: per item, the multi-core scaling winner), 512 = cache-line blocked,
+    #: 0 = the reference's classic layout (format parity).  Blocked
+    #: layouts are sized with margin so measured FPR stays <= fpr.
+    block_bits: int = 64
     #: hard cap on a single filter's bit size (broadcast budget guard;
     #: 2^33 bits = 1 GiB bitmap)
     max_bits: int = 1 << 33

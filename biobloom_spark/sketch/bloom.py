@@ -57,19 +57,19 @@ def optimal_size_bits(n_entries: int, fpr: float, num_hashes: int) -> int:
     return ((m + 63) // 64) * 64
 
 
-def blocked_size_bits(n_entries: int, fpr: float, num_hashes: int, block_bits: int = 512) -> int:
-    """Sizing for the cache-line *blocked* variant (Putze, Sanders &
-    Singler 2007, "Cache-, Hash- and Space-Efficient Bloom Filters"):
-    all h probes of an item land in one block, so a probe costs one DRAM
-    line instead of h — the difference between 0.5 and 0.8+ scaling
-    efficiency at 32 cores (measured; see BENCH.md).
+def blocked_size_bits(n_entries: int, fpr: float, num_hashes: int, block_bits: int = 64) -> int:
+    """Sizing for the *blocked* variants (Putze, Sanders & Singler 2007,
+    "Cache-, Hash- and Space-Efficient Bloom Filters"): all h probes of an
+    item land in one block, so a probe costs one memory access instead of
+    h — the decisive lever for multi-core scaling (see BENCH.md).
 
-    The block-occupancy variance costs FPR; sizing at fpr/4 (~+30% bits)
-    more than covers the penalty at 512-bit blocks for realistic loads —
-    validated empirically by the FPR-bound tests, which probe the *built*
-    filter, not the formula.
+    Block-occupancy variance costs FPR; the sizing margin compensates:
+    fpr/4 (~+35% bits) suffices for 512-bit blocks, fpr/8 (~+50%) for the
+    64-bit single-word layout — both validated empirically by the
+    FPR-bound tests, which probe the *built* filter, not the formula.
     """
-    m = optimal_size_bits(n_entries, fpr / 4.0, num_hashes)
+    margin = 8.0 if block_bits <= 64 else 4.0
+    m = optimal_size_bits(n_entries, fpr / margin, num_hashes)
     return ((m + block_bits - 1) // block_bits) * block_bits
 
 
@@ -86,11 +86,17 @@ def approx_fpr(m_bits: int, n_entries: int, num_hashes: int) -> float:
 class BloomSketch:
     """Fixed-parameter Bloom filter with batch insert/contains and OR-merge.
 
-    ``block_bits=0`` is the classic layout (h independent positions over
-    the whole array, the reference's semantics).  ``block_bits=512`` is the
-    cache-line blocked layout: ``h1`` selects a 64-byte block, the h bit
-    offsets come from 9-bit slices of ``h2`` — one memory line touched per
-    probe.  Same serialization, merge, and counter semantics either way.
+    Layouts (same serialization, merge, and counter semantics):
+    - ``block_bits=0``  classic: h independent positions over the whole
+      array (the reference's semantics).
+    - ``block_bits=512`` cache-line blocked: ``h1`` selects a 64-byte
+      block, h bit offsets from 9-bit slices of ``h2`` — one memory line
+      per probe.
+    - ``block_bits=64`` single-word blocked (default): all h bits live in
+      one uint64 selected by ``h1``; insert pre-combines the word and does
+      ONE scatter per item, query does ONE gather then register-width
+      shift tests — the fastest layout by far for bulk insert (~6x) and
+      the multi-core scaling winner.
     """
 
     m_bits: int
@@ -131,6 +137,22 @@ class BloomSketch:
             m = optimal_size_bits(n_entries, fpr, h)
         return cls(m_bits=m, num_hashes=h, block_bits=block_bits)
 
+    def _words(self) -> np.ndarray:
+        """uint64 view over the bit array (64-bit layout fast paths)."""
+        try:
+            return self.bits.view(np.uint64)
+        except ValueError:  # unaligned zero-copy buffer → one-time copy
+            self.bits = self.bits.copy()
+            return self.bits.view(np.uint64)
+
+    def _probe_words(self, h2: np.ndarray) -> np.ndarray:
+        """Per-item 64-bit word with the h probe bits set (6-bit offsets
+        sliced from h2) — the whole membership test in one register."""
+        w = np.zeros(h2.size, dtype=np.uint64)
+        for i in range(self.num_hashes):
+            w |= np.uint64(1) << ((h2 >> np.uint64(6 * i)) & np.uint64(63))
+        return w
+
     def _blocked_positions(self, h1: np.ndarray, h2: np.ndarray):
         """Yield bit positions (int64) per hash fn, all within h1's block."""
         n_blocks = self.m_bits // self.block_bits
@@ -160,12 +182,19 @@ class BloomSketch:
         # first occurrences: a repeated hash within the batch is redundant
         uniq = np.unique(hashes)
         h1, h2 = km_probe(uniq)
-        present = np.ones(uniq.size, dtype=bool)
-        for idx in self._positions(h1, h2):
-            byte_i = idx >> 3
-            bit_m = _BIT_LUT[idx & 7]
-            present &= (self.bits[byte_i] & bit_m) != 0
-            np.bitwise_or.at(self.bits, byte_i, bit_m)
+        if self.block_bits == 64:
+            words = self._words()
+            widx = (h1 % np.uint64(words.size)).astype(np.int64)
+            pw = self._probe_words(h2)
+            present = (words[widx] & pw) == pw
+            np.bitwise_or.at(words, widx, pw)  # one scatter per item
+        else:
+            present = np.ones(uniq.size, dtype=bool)
+            for idx in self._positions(h1, h2):
+                byte_i = idx >> 3
+                bit_m = _BIT_LUT[idx & 7]
+                present &= (self.bits[byte_i] & bit_m) != 0
+                np.bitwise_or.at(self.bits, byte_i, bit_m)
         n_uniq_new = int((~present).sum())
         n_red = int(hashes.size - n_uniq_new)
         self.n_inserted += int(hashes.size)
@@ -196,6 +225,12 @@ class BloomSketch:
         if n == 0:
             return out
         bits = self.bits
+        if self.block_bits == 64:
+            words = self._words()
+            widx = (h1 % np.uint64(words.size)).astype(np.int64)
+            got = words[widx]  # the only gather
+            pw = self._probe_words(h2)
+            return (got & pw) == pw
         if self.block_bits:
             n_blocks = self.m_bits // self.block_bits
             bpb = self.block_bits.bit_length() - 1

@@ -285,7 +285,7 @@ class TestBlockedBloom:
         train, probe = _rand_hashes(n, 44), _rand_hashes(8 * n, 45)
         bf = BloomSketch.for_capacity(n, p, block_bits=512)
         assert bf.m_bits % 512 == 0
-        assert bf.m_bits == blocked_size_bits(n, p, 7)
+        assert bf.m_bits == blocked_size_bits(n, p, 7, 512)
         bf.update_batch(train)
         train_set = set(train.tolist())
         novel = np.asarray([x for x in probe.tolist() if x not in train_set], dtype=np.uint64)
@@ -318,3 +318,34 @@ class TestBlockedBloom:
         back = BloomSketch.deserialize(bf.serialize(), bf.m_bits, bf.num_hashes, block_bits=512)
         assert np.array_equal(back.bits, bf.bits)
         assert back.contains_batch(_rand_hashes(1000, 47)).all()
+
+
+class TestWordBlockedBloom:
+    def test_fpr_within_bound(self):
+        n, p = 100_000, 0.0078125
+        train, probe = _rand_hashes(n, 54), _rand_hashes(8 * n, 55)
+        bf = BloomSketch.for_capacity(n, p, block_bits=64)
+        bf.update_batch(train)
+        train_set = set(train.tolist())
+        novel = np.asarray([x for x in probe.tolist() if x not in train_set], dtype=np.uint64)
+        assert bf.contains_batch(novel).mean() <= p
+
+    def test_no_false_negatives_merge_and_serde(self):
+        h = _rand_hashes(30_000, 56)
+        parts = _partitions(h, [9000, 21000])
+        mk = lambda arr: (lambda b: (b.update_batch(arr), b)[1])(
+            BloomSketch(m_bits=64 * 8192, num_hashes=7, block_bits=64)
+        )
+        a, b, c = (mk(p_) for p_ in parts)
+        merged = a.merge(b).merge(c)
+        whole = mk(h)
+        assert np.array_equal(merged.bits, whole.bits)
+        assert merged.contains_batch(h).all()
+        back = BloomSketch.deserialize(merged.serialize(), merged.m_bits, 7, block_bits=64)
+        assert back.contains_batch(h).all()
+
+    def test_insert_and_check_semantics(self):
+        h = _rand_hashes(1000, 57)
+        bf = BloomSketch.for_capacity(5000, 0.0078125, block_bits=64)
+        bf.update_batch(h)
+        assert bf.update_batch(h) == 1000  # all redundant second time
