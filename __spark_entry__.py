@@ -212,11 +212,29 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style bottom-k fingerprints (rows-only: xxhash64 has no
-    DuckDB twin; determinism pytest-verified)."""
-    from biobloom_spark.operators.textstats import doc_fingerprints
+    """Winnowing-style bottom-k fingerprints, exploded to scalar rows
+    (doc_id, slot, fp) with md5 shingle hashes — exact DuckDB twin."""
+    from biobloom_spark.operators.textstats import doc_fingerprints_exploded
 
-    return doc_fingerprints(_docs(spark, sf_dir), w=SHINGLE_W, k=8)
+    return doc_fingerprints_exploded(_docs(spark, sf_dir), w=SHINGLE_W, k=8)
+
+
+def q_extract_text_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """html→text invariant in the gate: wrap each document's text in
+    deterministic markup noise (script/style/comment/tags/entity), run the
+    engine's extract_text over the bytes, md5 the result.  The oracle is
+    md5(text) — the extraction must round-trip byte-identically."""
+    from biobloom_spark.operators.textstats import extract_text_hashes
+
+    html = F.concat(
+        F.lit('<html><head><script>var x = "<p>no</p>";'
+              '</script><style>p { color: red; }</style></head>'
+              '<body><!-- stripped --><p>'),
+        F.col("text"),
+        F.lit("</p> &#32; </body></html>"),
+    )
+    wrapped = _docs(spark, sf_dir).select("doc_id", html.alias("html"))
+    return extract_text_hashes(wrapped, html_col="html")
 
 
 def q_language_id_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,6 +269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "ivf_topk": q_ivf_topk,
         "doc_fingerprints": q_doc_fingerprints,
+        "extract_text_hashes": q_extract_text_hashes,
         "language_id_summary": q_language_id_summary,
     }
 
@@ -403,9 +422,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
             FROM ranked WHERE rank <= 5
         """,
+        "doc_fingerprints": _SHINGLES_CTE
+        + """
+            , fps AS (SELECT DISTINCT doc_id, md5(shingle) AS fp FROM sh),
+            ranked AS (
+              SELECT doc_id, fp,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY fp) AS slot
+              FROM fps
+            )
+            SELECT doc_id, CAST(slot AS INT) AS slot, fp
+            FROM ranked WHERE slot <= 8
+        """,
+        "extract_text_hashes": """
+            SELECT doc_id, md5(text) AS text_md5 FROM documents
+        """,
         # rows-only (approximate / hash-specific, pytest-verified instead):
         # bloom_categorize_summary, minhash_lsh_dups, simhash_dups,
-        # ivf_topk, doc_fingerprints, language_id_summary
+        # ivf_topk, language_id_summary
     }
 
 

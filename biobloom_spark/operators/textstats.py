@@ -11,6 +11,7 @@ onto webtext curation.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -114,6 +115,57 @@ def doc_fingerprints(
         id_col,
         F.slice(F.array_sort(F.array_distinct(hashes)), 1, k).alias("fingerprint"),
     )
+
+
+def doc_fingerprints_exploded(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    w: int = 3, k: int = 8,
+) -> DataFrame:
+    """Bottom-k fingerprint as exploded scalar rows (id, slot, fp).
+
+    Same bottom-k-of-distinct-shingle-hashes semantics as
+    ``doc_fingerprints`` but with two gate-friendly choices: md5 hex
+    strings instead of xxhash64 (md5 has an exact DuckDB twin; lexicographic
+    bottom-k is well-defined on the hex encoding) and one scalar row per
+    fingerprint slot (sortable / hashable by the driver's canonicalizer).
+    Still fully JVM-side.
+    """
+    from ..sources.tables import tokens_col
+
+    d = docs.withColumn("__toks", tokens_col(text_col))
+    n_frames = F.greatest(F.lit(0), F.size("__toks") - F.lit(w - 1))
+    idx = F.when(n_frames > 0, F.sequence(F.lit(1), n_frames)).otherwise(
+        F.array().cast("array<int>")
+    )
+    fps = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice("__toks", i, w)))
+    )
+    bottomk = F.slice(F.array_sort(F.array_distinct(fps)), 1, k)
+    return (
+        d.select(id_col, F.posexplode(bottomk).alias("pos", "fp"))
+        .select(id_col, (F.col("pos") + 1).cast("int").alias("slot"), "fp")
+    )
+
+
+def extract_text_hashes(
+    docs: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """md5 of the deterministic html→text extraction per document.
+
+    The input_hint's per-row invariant (byte-identical extracted text per
+    url) as a checkable aggregate: any change in ``extract_text`` flips the
+    hashes.  Arrow-batched pandas UDF over the html bytes — the same shape
+    a 100 TB WARC-derived table would use.
+    """
+    from ..functions.text import extract_text
+
+    @F.pandas_udf("string")
+    def ext(col: pd.Series) -> pd.Series:
+        return col.map(
+            lambda h: extract_text(h if isinstance(h, (bytes, bytearray)) else str(h).encode("utf-8"))
+        )
+
+    return docs.select(id_col, F.md5(ext(F.col(html_col))).alias("text_md5"))
 
 
 def train_language_profiles(
