@@ -94,36 +94,45 @@ def _score_texts(texts: np.ndarray, filters: list[dict], cfg: CategorizerConfig,
 
 def _assign(scores: np.ndarray, matches: np.ndarray, filter_ids: list[str], cfg: CategorizerConfig):
     """Per-doc (hits list, assigned label, best score) under the mode
-    semantics of BioBloomClassifier.h:531-555 / ResultsManager.hpp:41-89."""
+    semantics of BioBloomClassifier.h:531-555 / ResultsManager.hpp:41-89.
+
+    Fully vectorized: each mode reduces to a boolean selection matrix
+    ``sel[doc, filter]``; hit lists come from one ``np.nonzero`` + split,
+    assignment from the per-row selection count — no per-doc Python.
+    """
     n_docs = scores.shape[0]
-    hits_out: list[list[str]] = []
-    assigned = np.empty(n_docs, dtype=object)
+    fid_np = np.asarray(filter_ids, dtype=object)
     best = scores.max(axis=1) if scores.size else np.zeros(n_docs)
-    if cfg.mode == "ordered":
-        order = [filter_ids.index(f) for f in (cfg.ordered_filters or filter_ids)]
-    for i in range(n_docs):
-        if cfg.mode in ("std", "scores"):
-            h = [filter_ids[j] for j in np.flatnonzero(matches[i])]
-        elif cfg.mode == "ordered":
-            # first passing filter in priority order wins
-            # (BioBloomClassifier.cpp:1145-1153)
-            h = []
-            for j in order:
-                if matches[i, j]:
-                    h = [filter_ids[j]]
-                    break
-        elif cfg.mode == "besthit":
-            # no threshold; argmax of exhaustive score, ties → all tied
-            # (BioBloomClassifier.cpp:1194-1218)
-            if best[i] > 0.0:
-                h = [filter_ids[j] for j in np.flatnonzero(scores[i] == best[i])]
-            else:
-                h = []
-        else:  # pragma: no cover
-            raise ValueError(cfg.mode)
-        hits_out.append(h)
-        assigned[i] = NO_MATCH if not h else (h[0] if len(h) == 1 else MULTI_MATCH)
-    return hits_out, assigned, best
+    if cfg.mode in ("std", "scores"):
+        sel = matches
+    elif cfg.mode == "ordered":
+        # first passing filter in priority order wins
+        # (BioBloomClassifier.cpp:1145-1153)
+        order = np.asarray(
+            [filter_ids.index(f) for f in (cfg.ordered_filters or filter_ids)]
+        )
+        m_ord = matches[:, order]
+        has = m_ord.any(axis=1)
+        winner = order[m_ord.argmax(axis=1)]
+        sel = np.zeros_like(matches)
+        rows = np.flatnonzero(has)
+        sel[rows, winner[rows]] = True
+    elif cfg.mode == "besthit":
+        # no threshold; argmax of exhaustive score, ties → all tied
+        # (BioBloomClassifier.cpp:1194-1218)
+        sel = (scores == best[:, None]) & (best[:, None] > 0.0)
+    else:  # pragma: no cover
+        raise ValueError(cfg.mode)
+    counts = sel.sum(axis=1) if sel.size else np.zeros(n_docs, dtype=np.int64)
+    rows, cols = np.nonzero(sel)
+    bounds = np.searchsorted(rows, np.arange(1, n_docs))
+    hits_out = np.split(fid_np[cols], bounds) if n_docs else []
+    assigned = np.where(
+        counts == 0,
+        NO_MATCH,
+        np.where(counts == 1, fid_np[sel.argmax(axis=1)] if sel.size else NO_MATCH, MULTI_MATCH),
+    ).astype(object)
+    return hits_out, assigned, best, sel
 
 
 def categorize(
@@ -157,7 +166,7 @@ def categorize(
         for pdf in batches:
             texts = pdf[text_col].to_numpy()
             frames, scores, matches = _score_texts(texts, flts, cfg, cache, sketches)
-            hits, assigned, best = _assign(scores, matches, filter_ids, cfg)
+            hits, assigned, best, _sel = _assign(scores, matches, filter_ids, cfg)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
@@ -206,7 +215,7 @@ def categorize_pairs(
             f2, s2, m2 = _score_texts(pdf[text2_col].to_numpy(), flts, cfg, cache, sketches)
             matches = (m1 | m2) if cfg.inclusive_pairs else (m1 & m2)
             scores = (s1 + s2) / 2.0
-            hits, assigned, best = _assign(scores, matches, filter_ids, cfg)
+            hits, assigned, best, _sel = _assign(scores, matches, filter_ids, cfg)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
@@ -304,13 +313,13 @@ def summarize_fused(
         for pdf in batches:
             texts = pdf[text_col].to_numpy()
             _f, scores, matches = _score_texts(texts, flts, cfg, cache, sketches)
-            hits_list, assigned, _b = _assign(scores, matches, filter_ids, cfg)
+            _hits, assigned, _b, sel = _assign(scores, matches, filter_ids, cfg)
             n = len(texts)
+            hit_cts = sel.sum(axis=0) if sel.size else np.zeros(len(filter_ids), dtype=np.int64)
             rows = []
             for j, fid in enumerate(filter_ids):
-                hit_ct = sum(fid in h for h in hits_list)
                 uniq_ct = int((assigned == fid).sum())
-                rows.append((fid, hit_ct, uniq_ct, 0))
+                rows.append((fid, int(hit_cts[j]), uniq_ct, 0))
             multi = int((assigned == MULTI_MATCH).sum())
             nomatch = int((assigned == NO_MATCH).sum())
             rows.append((MULTI_MATCH, multi, multi, 0))

@@ -35,6 +35,7 @@ is ``keys × B`` bitmaps (MBs), so the merge stages are metadata-sized.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import uuid
 import zlib
@@ -57,6 +58,7 @@ from ..sketch import (
     blocked_size_bits,
     optimal_hash_num,
     optimal_size_bits,
+    resolve_block_layout,
 )
 from ..sources.tables import LINEAGE_SCHEMA, PARTIAL_SCHEMA, REGISTRY_SCHEMA
 
@@ -76,15 +78,17 @@ def size_filters(
     BloomFilterGenerator.h:108-141 — duplicates only make the filter
     conservatively large).
     """
-    # token-count upper bound by space counting (no regex, no array
+    # token-count upper bound by *whitespace character* counting (no array
     # allocation — the regex-split agg cost more than the whole partial
-    # build on large corpora).  Exact for single-space-separated text (our
-    # extractor's output contract); overcounts otherwise, which only makes
-    # the filter conservatively larger — same spirit as the reference
+    # build on large corpora).  tokenize() splits on any whitespace run, and
+    # tokens <= whitespace chars + 1 always (a run of j ws chars separates at
+    # most one boundary but counts j), so this is a true upper bound — exact
+    # for the extractor's single-space output contract.  Overcounting only
+    # makes the filter conservatively larger, same spirit as the reference
     # counting duplicate k-mers (BloomFilterGenerator.h:108-141).
     t = F.trim(F.col(text_col))
     n_tokens_ub = F.when(F.length(t) == 0, F.lit(0)).otherwise(
-        F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1
+        F.length(t) - F.length(F.regexp_replace(t, F.lit(r"\s"), F.lit(""))) + 1
     )
     frames_ub = F.greatest(F.lit(0), n_tokens_ub - F.lit(params.shingle_w - 1))
     agg = (
@@ -93,12 +97,12 @@ def size_filters(
         .agg(F.sum(frames_ub).alias("frames"), F.count(F.lit(1)).alias("docs"))
         .collect()
     )
-    h = params.num_hashes or optimal_hash_num(params.fpr)
+    h, block_bits = resolve_block_layout(params.fpr, params.num_hashes, params.block_bits)
     out = {}
     for row in agg:
         n = int(row["frames"] or 0)
-        if params.block_bits:
-            m = min(blocked_size_bits(n, params.fpr, h, params.block_bits), params.max_bits)
+        if block_bits:
+            m = min(blocked_size_bits(n, params.fpr, h, block_bits), params.max_bits)
         else:
             m = min(optimal_size_bits(n, params.fpr, h), params.max_bits)
         out[str(row[key_col])] = {
@@ -106,8 +110,26 @@ def size_filters(
             "n_docs": int(row["docs"]),
             "m_bits": m,
             "num_hashes": h,
+            "block_bits": block_bits,
         }
     return out
+
+
+def _snapshot_path(partials_path: str) -> str:
+    return partials_path.rstrip("/") + "_snapshot"
+
+
+def _read_snapshot(partials_path: str) -> str | None:
+    try:
+        with open(_snapshot_path(partials_path)) as f:
+            return f.read().strip()
+    except OSError:
+        return None
+
+
+def _write_snapshot(partials_path: str, fp: str) -> None:
+    with open(_snapshot_path(partials_path), "w") as f:
+        f.write(fp)
 
 
 def _build_partial_fn(sizing: dict, params: BloomParams, text_col: str, key_col: str,
@@ -126,7 +148,7 @@ def _build_partial_fn(sizing: dict, params: BloomParams, text_col: str, key_col:
         meta = sizing[filter_id]
         bloom = BloomSketch(
             m_bits=meta["m_bits"], num_hashes=meta["num_hashes"],
-            block_bits=params.block_bits,
+            block_bits=meta.get("block_bits", params.block_bits),
         )
         hll = HLLSketch(p=_HLL_P)
         cms = CountMinSketch(width=_CMS_W, depth=_CMS_D)
@@ -247,7 +269,7 @@ def _build_partition_fn(sizing: dict, params: BloomParams, text_col: str, key_co
                 bloom = BloomSketch(
                     m_bits=meta["m_bits"],
                     num_hashes=meta["num_hashes"],
-                    block_bits=params.block_bits,
+                    block_bits=meta.get("block_bits", params.block_bits),
                 )
                 bloom.update_batch(uniq)
                 payload = b"D" + zlib.compress(bloom.serialize(), 1)
@@ -285,6 +307,7 @@ def _merge_partials_fn(sizing: dict, out_schema, final: bool, params: BloomParam
         filter_id = str(key[0])
         meta = sizing[filter_id]
         m, h = meta["m_bits"], meta["num_hashes"]
+        bb = meta.get("block_bits", params.block_bits)
         bloom = None  # densify lazily: sparse unions never touch a bitmap
         saw_dense = False
         sparse_parts: list[np.ndarray] = []
@@ -303,7 +326,7 @@ def _merge_partials_fn(sizing: dict, out_schema, final: bool, params: BloomParam
             elif tag == b"D":
                 saw_dense = True
                 if bloom is None:
-                    bloom = BloomSketch(m_bits=m, num_hashes=h, block_bits=params.block_bits)
+                    bloom = BloomSketch(m_bits=m, num_hashes=h, block_bits=bb)
                 bloom.bits |= np.frombuffer(
                     zlib.decompress(body), dtype=np.uint8
                 )
@@ -334,7 +357,7 @@ def _merge_partials_fn(sizing: dict, out_schema, final: bool, params: BloomParam
             n_new_out, n_red_out = int(uniq.size), n_ins - int(uniq.size)
         else:
             if bloom is None:
-                bloom = BloomSketch(m_bits=m, num_hashes=h, block_bits=params.block_bits)
+                bloom = BloomSketch(m_bits=m, num_hashes=h, block_bits=bb)
             if uniq.size:
                 bloom.update_batch(uniq)
             payload = (
@@ -370,7 +393,7 @@ def _merge_partials_fn(sizing: dict, out_schema, final: bool, params: BloomParam
                 **common,
                 "m_bits": [m],
                 "num_hashes": [h],
-                "block_bits": [params.block_bits],
+                "block_bits": [bb],
                 "shingle_w": [params.shingle_w],
                 "target_fpr": [params.fpr],
                 "expected_entries": [meta["expected_entries"]],
@@ -399,6 +422,7 @@ def build_filters(
     subtract: "tuple[bytes, int, int] | None" = None,
     keys: Iterable[str] | None = None,
     expected_sizing: dict | None = None,
+    snapshot_id: str | None = None,
 ) -> DataFrame:
     """Build one Bloom filter (+ companion sketches) per value of key_col.
 
@@ -446,21 +470,32 @@ def build_filters(
         total_bits = sum(meta["m_bits"] for meta in sizing.values())
         strategy = "partition" if total_bits <= build.partition_strategy_max_bits else "bucketed"
 
+    # resume is only safe against the SAME input snapshot: partition ids /
+    # doc membership shift when the file listing changes, silently dropping
+    # or double-counting data.  Fingerprint the scan's file listing; on
+    # mismatch (or unknowable, e.g. in-memory test DataFrames with no files)
+    # discard stale partials and rebuild from scratch.
+    # ``snapshot_id`` lets callers with a stable non-file input identity
+    # (e.g. an Iceberg snapshot id) opt into resume explicitly
+    snap = snapshot_id or ";".join(sorted(docs.inputFiles()))
+    snap_fp = hashlib.md5(snap.encode()).hexdigest() if snap else None
+    resume = False
+    if partials_path and os.path.exists(partials_path):
+        resume = snap_fp is not None and _read_snapshot(partials_path) == snap_fp
+
     if strategy == "partition":
         base = docs.select(
             F.col(key_col).cast("string").alias("filter_id"),
             F.col(text_col).alias(text_col),
         )
         todo = base
-        if partials_path and os.path.exists(partials_path):
+        if resume:
             done_buckets = [
                 int(r["bucket"])
                 for r in spark.read.parquet(partials_path).select("bucket").distinct().collect()
             ]
-            # partition ids are deterministic for the same input snapshot;
+            # same snapshot → same listing → deterministic partition ids;
             # recompute only missing partitions
-            from pyspark import TaskContext  # noqa: F401  (doc: bucket == pid)
-
             todo = base.rdd.mapPartitionsWithIndex(
                 lambda pid, it: iter([]) if pid in set(done_buckets) else it,
                 preservesPartitioning=True,
@@ -476,7 +511,7 @@ def build_filters(
             .alias("bucket"),
         )
         todo = bucketed
-        if partials_path and os.path.exists(partials_path):
+        if resume:
             have_partials = spark.read.parquet(partials_path)
             done_keys = have_partials.select("filter_id", "bucket").distinct()
             todo = bucketed.join(done_keys, on=["filter_id", "bucket"], how="left_anti")
@@ -489,7 +524,10 @@ def build_filters(
         )
 
     if partials_path:
-        new_partials.write.mode("append").parquet(partials_path)
+        mode = "append" if resume else "overwrite"
+        new_partials.write.mode(mode).parquet(partials_path)
+        if snap_fp is not None:
+            _write_snapshot(partials_path, snap_fp)
         partials = spark.read.parquet(partials_path)
         lineage = partials.select(
             F.lit(job_id).alias("job_id"),

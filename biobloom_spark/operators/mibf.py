@@ -1,0 +1,371 @@
+"""miBF build + classify — BioBloomMIMaker / BioBloomMICategorizer,
+Spark-native (the multi-index product line: SURVEY.md §2 A7/A8/T2/M-miBF).
+
+Reference lifecycle:
+- maker (/root/reference/BioBloomMaker/MIBFGen.hpp:131-309 via
+  BioBloomMIMaker.cpp): 3 passes — occupied-bit vector, ID insertion with
+  fair-random collision ownership, saturation marking for elements that
+  lost every slot.
+- classifier (/root/reference/BioBloomCategorizer/MIBFClassifier.hpp:
+  773-939): per-read per-ID frame counts (distinct per frame), "full"
+  counts restricted to all-probes-present non-saturated frames, binomial
+  significance with Bonferroni correction ``alpha / numIDs``
+  (MIBFClassifier.hpp:895,936), ranking by (full count desc, p-value asc)
+  and the ``-m`` multi-match window: a secondary hit within
+  ``multi_thresh`` full-count of the best makes the read multiMatch
+  (Doc/MultiIndex.md §5 "Do you output multimapping sequences?";
+  default -m 2, MIBFClassifier options).
+
+Spark shape mirrors the plain-Bloom jobs: the claims pass is mapInPandas
+over the corpus partitions (zero shuffle — only sparse claim blobs move),
+ownership resolves by an associative min-tiebreak merge, saturation is a
+second broadcast pass, and classification is one broadcast + mapInPandas
+pass over the (much larger) query corpus.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import MULTI_MATCH, NO_MATCH
+from ..functions.stats import log_binom_sf
+from ..functions.text import batch_doc_shingles
+from ..sketch.mibf import (
+    MIBFClaims,
+    MIBFSketch,
+    flat_seed_hashes,
+    mibf_size_slots,
+    seed_masks_to_arrays,
+)
+
+__all__ = ["build_mibf", "classify_mibf", "mibf_summarize"]
+
+_CLAIMS_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+
+def _frame_hash_rows(texts, labels_idx, w: int, seeds, cache: dict):
+    """Per label group → (hash rows, offsets).  k-mer mode: (1D hashes,
+    offsets); seed mode: ((h, n) rows, offsets)."""
+    frames, offsets, tok_hashes, tok_counts = batch_doc_shingles(texts, w, cache)
+    if seeds is None:
+        return frames, offsets
+    rows, offsets2 = flat_seed_hashes(tok_hashes, tok_counts, w, seeds)
+    return rows, offsets2
+
+
+def build_mibf(
+    spark: SparkSession,
+    docs: DataFrame,
+    key_col: str = "lang",
+    text_col: str = "text",
+    shingle_w: int = 3,
+    num_hashes: int = 3,
+    occupancy: float = 0.5,
+    seeds: list[str] | None = None,
+    expected_entries: int | None = None,
+    merge_groups: int = 8,
+) -> MIBFSketch:
+    """Build one miBF over all values of ``key_col`` (labels).
+
+    Passes (MIBFGen.hpp:131-309 analog):
+    1. sizing: frames upper bound → slots for the target occupancy
+       (``-b``, default 0.5) — the reference's ``-n``/file-size estimate;
+    2. claims: every (label, frame) claims its h probe slots with a
+       deterministic pseudo-random tiebreak; per-partition sparse claim
+       sets merge associatively (fan-in bounded by ``merge_groups``);
+    3. saturation: frames whose label lost every slot mark those slots
+       saturated (insertSaturation analog).
+    The corpus is read twice and never shuffled; only sparse claim blobs
+    move.  Labels are capped at 32767 (Doc/MultiIndex.md:165).
+    """
+    from ..session import ensure_workers
+
+    ensure_workers(spark)
+    seed_arr = seed_masks_to_arrays(seeds, shingle_w)
+    h = seed_arr.shape[0] if seed_arr is not None else num_hashes
+
+    docs = docs.filter(F.col(key_col).isNotNull() & F.col(text_col).isNotNull())
+    labels = [r[0] for r in docs.select(key_col).distinct().collect()]
+    labels = sorted(str(x) for x in labels)
+    label_to_idx = {lab: i + 1 for i, lab in enumerate(labels)}
+
+    if expected_entries is None:
+        t = F.trim(F.col(text_col))
+        n_tokens_ub = F.when(F.length(t) == 0, F.lit(0)).otherwise(
+            F.length(t) - F.length(F.regexp_replace(t, F.lit(r"\s"), F.lit(""))) + 1
+        )
+        frames_ub = F.greatest(F.lit(0), n_tokens_ub - F.lit(shingle_w - 1))
+        expected_entries = int(
+            docs.agg(F.sum(frames_ub).alias("f")).collect()[0]["f"] or 1
+        )
+    m_slots = mibf_size_slots(expected_entries, h, occupancy)
+
+    bc_map = spark.sparkContext.broadcast(label_to_idx)
+    base = docs.select(
+        F.col(key_col).cast("string").alias("__label"), F.col(text_col).alias("__text")
+    )
+
+    def claims_pass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        lmap = bc_map.value
+        cache: dict = {}
+        acc = MIBFClaims()
+        for pdf in batches:
+            for lab, grp in pdf.groupby("__label"):
+                li = lmap.get(str(lab))
+                if li is None:
+                    continue
+                rows, _off = _frame_hash_rows(
+                    grp["__text"].to_numpy(), None, shingle_w, seed_arr, cache
+                )
+                if rows.size == 0:
+                    continue
+                probe = MIBFSketch(
+                    m_slots, h, shingle_w, [], np.zeros(0, dtype=np.uint16), seed_arr
+                )
+                pos = probe.positions_for(rows)
+                acc = acc.merge(MIBFClaims.from_positions(pos, li))
+        if acc.slots.size == 0:
+            return
+        ctx = TaskContext.get()
+        bucket = int(ctx.partitionId()) if ctx is not None else 0
+        yield pd.DataFrame({"bucket": [bucket], "payload": [acc.serialize()]})
+
+    partials = base.mapInPandas(claims_pass, schema=_CLAIMS_SCHEMA)
+
+    def merge_blobs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = MIBFClaims()
+        for p in pdf["payload"]:
+            acc = acc.merge(MIBFClaims.deserialize(bytes(p)))
+        return pd.DataFrame({"bucket": [int(key[0])], "payload": [acc.serialize()]})
+
+    g = max(1, merge_groups)
+    level1 = (
+        partials.withColumn("bucket", F.pmod(F.col("bucket"), F.lit(g)).cast("int"))
+        .groupBy("bucket")
+        .applyInPandas(merge_blobs, schema=_CLAIMS_SCHEMA)
+        .collect()
+    )
+    final = MIBFClaims()
+    for row in level1:
+        final = final.merge(MIBFClaims.deserialize(bytes(row["payload"])))
+    sketch = MIBFSketch.from_claims(final, m_slots, h, shingle_w, labels, seed_arr)
+
+    # --- saturation pass (insertSaturation, MIBFGen.hpp:196-223) ----------
+    bc_ids = spark.sparkContext.broadcast(sketch.serialize())
+
+    sat_schema = T.StructType([T.StructField("slots", T.BinaryType(), False)])
+
+    def sat_pass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lmap = bc_map.value
+        resolved = MIBFSketch.deserialize(
+            bc_ids.value, m_slots, h, shingle_w, labels, seed_arr
+        )
+        cache: dict = {}
+        sat: list[np.ndarray] = []
+        for pdf in batches:
+            for lab, grp in pdf.groupby("__label"):
+                li = lmap.get(str(lab))
+                if li is None:
+                    continue
+                rows, _off = _frame_hash_rows(
+                    grp["__text"].to_numpy(), None, shingle_w, seed_arr, cache
+                )
+                if rows.size == 0:
+                    continue
+                pos = resolved.positions_for(rows)
+                lost = resolved.lost_elements(pos, li)
+                if lost.any():
+                    sat.append(np.unique(pos[:, lost]))
+        if sat:
+            yield pd.DataFrame(
+                {"slots": [np.unique(np.concatenate(sat)).tobytes()]}
+            )
+
+    sat_rows = base.mapInPandas(sat_pass, schema=sat_schema).collect()
+    if sat_rows:
+        all_sat = np.unique(
+            np.concatenate(
+                [np.frombuffer(bytes(r["slots"]), dtype=np.int64) for r in sat_rows]
+            )
+        )
+        sketch.apply_saturation(all_sat)
+    return sketch
+
+
+def _classify_batch(
+    texts: np.ndarray,
+    sketch: MIBFSketch,
+    per_frame_prob: np.ndarray,
+    alpha_adj: float,
+    multi_thresh: int,
+    cache: dict,
+):
+    """Vectorized evalRead (MIBFClassifier.hpp:842-930) over one batch.
+
+    Returns (n_frames, assigned, hits_lists, best_scores)."""
+    w, L = sketch.shingle_w, len(sketch.labels)
+    rows, offsets = _frame_hash_rows(texts, None, w, sketch.seeds, cache)
+    n_docs = offsets.size - 1
+    frames = np.diff(offsets)
+    n_fr = int(offsets[-1])
+    assigned = np.full(n_docs, NO_MATCH, dtype=object)
+    hits_out: list = [[] for _ in range(n_docs)]
+    best = np.zeros(n_docs)
+    if n_fr == 0:
+        return frames, assigned, hits_out, best
+    pos = sketch.positions_for(rows)  # (h, n_fr)
+    lab, sat = sketch.gather(pos)  # (h, n_fr) uint16 / bool
+    h = pos.shape[0]
+    frame_col = np.tile(np.arange(n_fr, dtype=np.int64), h)
+    lab_flat = lab.ravel().astype(np.int64)
+    sat_flat = sat.ravel()
+    doc_of_frame = np.searchsorted(offsets, np.arange(n_fr), side="right") - 1
+
+    def per_doc_label_counts(mask: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """distinct-per-frame (doc, label) counts over probe entries where
+        ``mask`` holds → (doc*(L+1)+label keys, counts)."""
+        sel = mask & (lab_flat > 0)
+        if not sel.any():
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        fl_keys = frame_col[sel] * np.int64(L + 1) + lab_flat[sel]
+        fl_uniq = np.unique(fl_keys)  # one per (frame, label)
+        fr = fl_uniq // np.int64(L + 1)
+        lb = fl_uniq % np.int64(L + 1)
+        dl_keys = doc_of_frame[fr] * np.int64(L + 1) + lb
+        return np.unique(dl_keys, return_counts=True)
+
+    # counts: any present probe (saturated or not), distinct per frame
+    # (evalRead counts loop, MIBFClassifier.hpp:850-873)
+    keys_c, counts_c = per_doc_label_counts(np.ones_like(sat_flat, dtype=bool))
+    if keys_c.size == 0:
+        return frames, assigned, hits_out, best
+    # full counts: frames with ALL probes present, non-saturated entries
+    # only (MIBFClassifier.hpp:874-890)
+    full_frame = (lab > 0).all(axis=0)
+    keys_f, counts_f = per_doc_label_counts(full_frame[frame_col] & ~sat_flat)
+
+    doc_i = keys_c // np.int64(L + 1)
+    lab_i = keys_c % np.int64(L + 1)
+    full_i = np.zeros(keys_c.size, dtype=np.int64)
+    if keys_f.size:
+        fidx = np.searchsorted(keys_f, keys_c)
+        fidx = np.clip(fidx, 0, keys_f.size - 1)
+        match = keys_f[fidx] == keys_c
+        full_i[match] = counts_f[fidx[match]]
+
+    # binomial significance P(X > count) < alpha/numIDs (Bonferroni,
+    # MIBFClassifier.hpp:895,936); memoize per unique (count, frames, label)
+    n_doc_frames = frames[doc_i]
+    trip = np.stack([counts_c, n_doc_frames, lab_i], axis=1)
+    uniq, inv = np.unique(trip, axis=0, return_inverse=True)
+    logp_u = np.empty(uniq.shape[0])
+    for k, (c, n, li) in enumerate(uniq):
+        logp_u[k] = log_binom_sf(int(c) + 1, int(n), float(per_frame_prob[int(li)]))
+    logp = logp_u[inv]
+    signif = logp < math.log(alpha_adj) if alpha_adj > 0 else np.zeros_like(logp, dtype=bool)
+
+    d, li, cn, fu, lp = doc_i[signif], lab_i[signif], counts_c[signif], full_i[signif], logp[signif]
+    if d.size:
+        # rank per doc: full count desc, p-value asc (MIBFClassifier.hpp:903-909)
+        order = np.lexsort((lp, -fu, d))
+        d, li, cn, fu, lp = d[order], li[order], cn[order], fu[order], lp[order]
+        first = np.empty(d.size, dtype=bool)
+        first[0] = True
+        first[1:] = d[1:] != d[:-1]
+        best_fu = fu[np.maximum.accumulate(np.where(first, np.arange(d.size), 0))]
+        # -m window: keep secondaries within multi_thresh of the best full
+        # count (Doc/MultiIndex.md §5; default 2); the best row always stays
+        keep = first | (fu + multi_thresh > best_fu)
+        d2, li2, lp2, first2 = d[keep], li[keep], lp[keep], first[keep]
+        labels_np = np.asarray(["?"] + sketch.labels, dtype=object)
+        bounds = np.flatnonzero(np.concatenate([first2[1:], [True]])) + 1
+        starts = np.concatenate([[0], bounds[:-1]])
+        for s, e in zip(starts, bounds):
+            doc = int(d2[s])
+            hits_out[doc] = list(labels_np[li2[s:e]])
+            assigned[doc] = hits_out[doc][0] if e - s == 1 else MULTI_MATCH
+            best[doc] = min(1000.0, -10.0 * lp2[s] / math.log(10.0))
+    return frames, assigned, hits_out, best
+
+
+def classify_mibf(
+    spark: SparkSession,
+    docs: DataFrame,
+    sketch: MIBFSketch,
+    alpha: float = 1e-10,
+    multi_thresh: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Classify every document against the miBF — broadcast + one
+    mapInPandas pass, zero shuffle (the MI twin of ``categorize``).
+
+    ``alpha`` is the ``-s`` significance (min_FPR=100 → 1e-10,
+    MIBFClassifier defaults); Bonferroni-adjusted by the label count.
+    Output: (id, n_frames, hits ranked best-first, assigned, best_score
+    = -10*log10 p of the best hit).
+    """
+    from ..session import ensure_workers
+
+    ensure_workers(spark)
+    payload = sketch.serialize()
+    meta = (sketch.m_slots, sketch.num_hashes, sketch.shingle_w, sketch.labels)
+    seeds = sketch.seeds
+    bc = spark.sparkContext.broadcast((payload, meta, seeds))
+    per_frame_prob = sketch.per_frame_prob()
+    alpha_adj = alpha / max(1, len(sketch.labels))
+    id_field = docs.schema[id_col]
+    schema = T.StructType(
+        [
+            id_field,
+            T.StructField("n_frames", T.LongType(), False),
+            T.StructField("hits", T.ArrayType(T.StringType()), False),
+            T.StructField("assigned", T.StringType(), False),
+            T.StructField("best_score", T.DoubleType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl, (m, h, w, labels), sd = bc.value
+        sk = MIBFSketch.deserialize(pl, m, h, w, labels, sd)
+        cache: dict = {}
+        for pdf in batches:
+            frames, assigned, hits, best = _classify_batch(
+                pdf[text_col].to_numpy(), sk, per_frame_prob, alpha_adj,
+                multi_thresh, cache,
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "n_frames": frames,
+                    "hits": hits,
+                    "assigned": assigned,
+                    "best_score": best,
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
+def mibf_summarize(result: DataFrame) -> DataFrame:
+    """Per-label assignment summary — the MI ``_summary.tsv`` analog
+    (ResultsManager.updateSummaryData over signifResults)."""
+    return (
+        result.groupBy("assigned")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("n_frames").alias("avg_frames"))
+        .orderBy("assigned")
+    )

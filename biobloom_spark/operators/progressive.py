@@ -59,6 +59,7 @@ def progressive_build(
     (upper bound of the closure) so iterations merge into a fixed-size
     bitmap — the reference sizes from -n expected entries similarly.
     """
+    from ..sketch import BloomSketch
     from .categorizer import categorize, categorize_pairs
     from .maker import build_filters, load_registry
 
@@ -68,11 +69,21 @@ def progressive_build(
     cfg = CategorizerConfig(scoring=scoring, inclusive_pairs=inclusive_pairs)
 
     key = F.lit(filter_id).alias("__fkey")
-    union_all = seed_docs.select(
-        F.col(id_col), F.col(text_col)
-    ).unionByName(read_docs.select(F.col(id_col), F.col(text_col)))
 
-    # fixed sizing over the maximal possible closure
+    def both_mates(docs: DataFrame) -> DataFrame:
+        """(id, text) rows covering BOTH mates when paired — the reference
+        inserts rec1 AND rec2 of a tagged pair (PROG_STD/PROG_INC,
+        BloomFilterGenerator.cpp:207-262)."""
+        one = docs.select(F.col(id_col), F.col(text_col).alias(text_col))
+        if not text2_col or text2_col not in docs.columns:
+            return one
+        return one.unionByName(
+            docs.select(F.col(id_col), F.col(text2_col).alias(text_col))
+        )
+
+    union_all = both_mates(seed_docs).unionByName(both_mates(read_docs))
+
+    # fixed sizing over the maximal possible closure (both mates included)
     from .maker import size_filters
 
     sizing_probe = size_filters(
@@ -82,7 +93,7 @@ def progressive_build(
     def build_from(docs: DataFrame) -> DataFrame:
         return build_filters(
             spark,
-            docs.withColumn("__fkey", key),
+            both_mates(docs).withColumn("__fkey", key),
             key_col="__fkey",
             text_col=text_col,
             id_col=id_col,
@@ -93,9 +104,17 @@ def progressive_build(
         )
 
     tagged = seed_docs.select(F.col(id_col)).withColumn("iteration", F.lit(0))
-    current_docs = seed_docs.select(id_col, *( [text_col, text2_col] if text2_col else [text_col]))
     reg = build_from(seed_docs)
     filters = load_registry(reg)
+    # incremental state: the running OR-merged bitmap (fixed m/h across
+    # iterations); Bloom insert is set-union idempotent, so inserting only
+    # the newly matched docs and OR-merging equals the rebuild-from-scratch
+    # of seed ∪ matched — the reference inserts incrementally too
+    # (BloomFilterGenerator.cpp:149-270)
+    running = BloomSketch.deserialize(
+        filters[0]["bitmap"], filters[0]["m_bits"], filters[0]["num_hashes"],
+        block_bits=filters[0]["block_bits"],
+    )
 
     bait_filters = []
     if bait is not None:
@@ -132,12 +151,23 @@ def progressive_build(
             matched_ids.withColumn("iteration", F.lit(it))
         )
         matched_docs = remaining.join(matched_ids, on=id_col)
-        grown_docs = current_docs.unionByName(
-            matched_docs.select(*current_docs.columns)
+        # build ONLY the newly matched docs and OR-merge into the running
+        # fixed-size bitmap: per-iteration cost stays O(newly matched), not
+        # O(closure) — at 100 TB the rebuild-from-scratch variant is
+        # iteration-quadratic
+        delta_filters = load_registry(build_from(matched_docs))
+        delta = BloomSketch.deserialize(
+            delta_filters[0]["bitmap"], running.m_bits, running.num_hashes,
+            block_bits=running.block_bits,
         )
-        reg = build_from(grown_docs)
-        filters = load_registry(reg)
-        current_docs = grown_docs
+        running = running.merge(delta)
+        filters = [
+            {
+                **filters[0],
+                "bitmap": running.serialize(),
+                "fpr": max(running.fpr_from_occupancy(), 1e-300),
+            }
+        ]
         remaining = remaining.join(matched_ids, on=id_col, how="left_anti")
         # stop when the filter stopped growing (totalEntries fixpoint,
         # BloomFilterGenerator.cpp:176,402 analog)

@@ -112,6 +112,16 @@ def _runs(hit: np.ndarray, offsets: np.ndarray):
     return starts, run_len, run_doc
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1 << 20)
+def _binom_score(c: int, n: int, p: float) -> float:
+    """-10*log10 P(X>=c) capped at 1000 (evalBinomialScore overflow guard)."""
+    lp = log_binom_sf(c, n, p)
+    return min(1000.0, -10.0 * lp / math.log(10.0)) if lp > -math.inf else 1000.0
+
+
 _HARMONIC_CUM = np.concatenate([[0.0], np.cumsum(1.0 / np.arange(1, 4097))])
 
 
@@ -176,30 +186,40 @@ def score_batch(
         )
         matches = nonzero & (hits >= thresh)
         # score = -10*log10 P(X >= hits) (evalBinomialScore, SeqEval.h:437-491)
+        # docs cluster on few (hits, frames) pairs → evaluate the beta CF
+        # once per unique pair (memoized across batches), gather back
         scores = np.zeros(offsets.size - 1)
-        for i in np.flatnonzero(nonzero & (hits > 0)):
-            lp = log_binom_sf(int(hits[i]), int(frames[i]), filter_fpr)
-            scores[i] = min(1000.0, -10.0 * lp / math.log(10.0)) if lp > -math.inf else 1000.0
+        sel = np.flatnonzero(nonzero & (hits > 0))
+        if sel.size:
+            pairs = hits[sel].astype(np.int64) * np.int64(1 << 32) + frames[sel].astype(np.int64)
+            uniq, inv = np.unique(pairs, return_inverse=True)
+            vals = np.fromiter(
+                (_binom_score(int(p) >> 32, int(p) & 0xFFFFFFFF, filter_fpr) for p in uniq),
+                count=uniq.size,
+                dtype=np.float64,
+            )
+            scores[sel] = vals[inv]
     else:  # pragma: no cover
         raise ValueError(cfg.method)
     return scores.astype(np.float64), matches
 
 
 def score_with_skip_reference(
-    hit: np.ndarray, frames: int, cfg: ScoringConfig
+    hit: np.ndarray, frames: int, cfg: ScoringConfig, shingle_w: int = 3
 ) -> float:
     """Reference-parity SIMPLE scorer replicating the skip-ahead heuristic.
 
-    Scalar transcription of the *semantics* of evalSimple's miss branch
-    (SeqEval.h:94-110): after a miss that ends a streak >= streak_threshold,
-    jump ``skip = shingle-window`` frames, counting them as misses.  Used in
-    differential tests only — the production path is the exhaustive
-    vectorized kernel above.
+    Scalar transcription of the semantics of evalSimple's miss branch
+    (SeqEval.h:94-110): after a miss while on a streak >= streak_threshold,
+    skip ahead ``kmerSize`` frames (``skipEnd = itr.pos() + kmerSize``) —
+    the shingle window w is the k analog here — with the skipped frames
+    never probed (they count only toward the anti-score early exit, which
+    exhaustive scoring drops).  Used in differential tests only — the
+    production path is the exhaustive vectorized kernel above.
     """
     score = 0.0
     streak = 0
     i = 0
-    skip = cfg.streak_threshold  # reference jumps ~k; we jump streak window
     while i < frames:
         if hit[i]:
             score += 0.5 if streak == 0 else 1.0
@@ -207,7 +227,7 @@ def score_with_skip_reference(
             i += 1
         else:
             if streak >= cfg.streak_threshold:
-                i += skip  # skipped frames count as misses
+                i += shingle_w  # skipEnd = pos + kmerSize (SeqEval.h:103)
             else:
                 i += 1
             streak = 0

@@ -5,7 +5,14 @@ contract so the Spark layer can build partials per bucket inside Arrow UDFs
 and reduce them associatively (SURVEY.md §2.11).
 """
 
-from .bloom import BloomSketch, approx_fpr, blocked_size_bits, optimal_hash_num, optimal_size_bits
+from .bloom import (
+    BloomSketch,
+    approx_fpr,
+    blocked_size_bits,
+    optimal_hash_num,
+    optimal_size_bits,
+    resolve_block_layout,
+)
 from .countmin import CountMinSketch
 from .hashing import bloom_indices, hash_bytes, hash_tokens, shingle_hashes, splitmix64
 from .hll import HLLSketch
@@ -13,6 +20,7 @@ from .kll import KLLSketch
 from .tdigest import TDigestSketch
 
 __all__ = [
+    "resolve_block_layout",
     "BloomSketch",
     "CountMinSketch",
     "HLLSketch",

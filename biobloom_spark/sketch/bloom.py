@@ -30,6 +30,7 @@ import numpy as np
 from .hashing import km_indices_iter, km_probe
 
 _BIT_LUT = (np.uint8(1) << np.arange(8, dtype=np.uint8))  # bit masks by idx&7
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 __all__ = [
     "optimal_hash_num",
@@ -71,6 +72,42 @@ def blocked_size_bits(n_entries: int, fpr: float, num_hashes: int, block_bits: i
     margin = 8.0 if block_bits <= 64 else 4.0
     m = optimal_size_bits(n_entries, fpr / margin, num_hashes)
     return ((m + block_bits - 1) // block_bits) * block_bits
+
+
+def resolve_block_layout(
+    fpr: float, num_hashes: int | None, block_bits: int
+) -> tuple[int, int]:
+    """Pick an (h, block_bits) pair that actually fits the layout.
+
+    Blocked layouts slice the h probe offsets from the 64 bits of h2, so
+    ``h * log2(block_bits) <= 64`` (h<=10 for 64-bit words, h<=7 for
+    512-bit lines); a 64-bit block also has a practical FPR floor around
+    (h/64)^h ~ 1e-8.  The reference supports arbitrary -f FPRs
+    (/root/reference/Common/Options.cpp:26 is only a default), so instead
+    of raising deep inside executors:
+
+    - derived h (num_hashes=None): clamp h into the layout and let the
+      sizing formula spend bits instead of probes; downgrade the layout
+      (64 -> 512 -> classic) when the target fpr is below its floor.
+    - explicit h: keep the user's h and downgrade the layout to one that
+      can host it (512-bit line for h<=7, else classic).
+    """
+    if not block_bits:
+        return (num_hashes or optimal_hash_num(fpr)), 0
+    if num_hashes is not None:
+        bpb = block_bits.bit_length() - 1
+        if num_hashes * bpb <= 64:
+            return num_hashes, block_bits
+        if num_hashes * 9 <= 64:
+            return num_hashes, 512
+        return num_hashes, 0
+    h = optimal_hash_num(fpr)
+    if fpr < 1e-7:  # below the 64-bit word's practical floor
+        if fpr < 1e-12:  # below the 512-bit line's practical floor
+            return h, 0
+        return min(h, 7), 512
+    bpb = block_bits.bit_length() - 1
+    return min(h, 64 // bpb), block_bits
 
 
 def approx_fpr(m_bits: int, n_entries: int, num_hashes: int) -> float:
@@ -130,7 +167,7 @@ class BloomSketch:
     def for_capacity(
         cls, n_entries: int, fpr: float, num_hashes: int | None = None, block_bits: int = 0
     ) -> "BloomSketch":
-        h = num_hashes if num_hashes is not None else optimal_hash_num(fpr)
+        h, block_bits = resolve_block_layout(fpr, num_hashes, block_bits)
         if block_bits:
             m = blocked_size_bits(n_entries, fpr, h, block_bits)
         else:
@@ -147,20 +184,31 @@ class BloomSketch:
 
     def _probe_words(self, h2: np.ndarray) -> np.ndarray:
         """Per-item 64-bit word with the h probe bits set (6-bit offsets
-        sliced from h2) — the whole membership test in one register."""
+        sliced from h2) — the whole membership test in one register.
+
+        Slices start at bit 4 (= 64 % 6): km_probe forces h2 odd for the
+        classic-layout stride, so bit 0 is constant — slicing from it
+        biased probe 0 to odd offsets (halving its entropy and skewing the
+        measured FPR ~10% above the per-block occupancy estimate).
+        """
         w = np.zeros(h2.size, dtype=np.uint64)
         for i in range(self.num_hashes):
-            w |= np.uint64(1) << ((h2 >> np.uint64(6 * i)) & np.uint64(63))
+            w |= np.uint64(1) << ((h2 >> np.uint64(6 * i + 4)) & np.uint64(63))
         return w
 
     def _blocked_positions(self, h1: np.ndarray, h2: np.ndarray):
-        """Yield bit positions (int64) per hash fn, all within h1's block."""
+        """Yield bit positions (int64) per hash fn, all within h1's block.
+
+        Offset slices skip the low 64 % bpb h2 bits (bit 0 is forced odd by
+        km_probe — see _probe_words).
+        """
         n_blocks = self.m_bits // self.block_bits
         bpb = self.block_bits.bit_length() - 1
+        shift = 64 % bpb
         base = (h1 % np.uint64(n_blocks)).astype(np.int64) * np.int64(self.block_bits)
         off_mask = np.uint64(self.block_bits - 1)
         for i in range(self.num_hashes):
-            off = ((h2 >> np.uint64(bpb * i)) & off_mask).astype(np.int64)
+            off = ((h2 >> np.uint64(bpb * i + shift)) & off_mask).astype(np.int64)
             yield base + off
 
     def _positions(self, h1: np.ndarray, h2: np.ndarray):
@@ -234,12 +282,13 @@ class BloomSketch:
         if self.block_bits:
             n_blocks = self.m_bits // self.block_bits
             bpb = self.block_bits.bit_length() - 1
+            shift = 64 % bpb
             off_mask = np.uint64(self.block_bits - 1)
             base = (h1 % np.uint64(n_blocks)).astype(np.int64) * np.int64(self.block_bits)
             rest = h2
             alive = None
             for level in range(self.num_hashes):
-                idx = base + ((rest >> np.uint64(bpb * level)) & off_mask).astype(np.int64)
+                idx = base + ((rest >> np.uint64(bpb * level + shift)) & off_mask).astype(np.int64)
                 test = (bits[idx >> 3] & _BIT_LUT[idx & 7]) != 0
                 keep = np.flatnonzero(test)
                 alive = keep if alive is None else alive[keep]
@@ -294,14 +343,35 @@ class BloomSketch:
 
     # -- stats ------------------------------------------------------------
     def popcount(self) -> int:
-        return int(np.unpackbits(self.bits).sum())
+        return int(_POPCNT8[self.bits].sum(dtype=np.int64))
 
     def occupancy(self) -> float:
         return self.popcount() / self.m_bits
 
     def fpr_from_occupancy(self) -> float:
-        """Exact current FPR given observed bit occupancy: (set/m)^h."""
-        return self.occupancy() ** self.num_hashes
+        """Exact expected FPR for a random non-member given the *observed*
+        bit pattern.
+
+        Classic layout: all h probes uniform over the whole array →
+        ``(set/m)^h``.  Blocked layouts concentrate all h probes in the one
+        block selected by h1, so block-occupancy variance matters: the h
+        probe offsets are independent uniform within the block, hence
+        P(false positive | block b) = (popcount(b)/B)^h and the global FPR
+        is the mean over blocks — E[(c_b/B)^h] >> (E[c_b]/B)^h under load
+        variance (Putze et al. 2007 §4).  The global-occupancy formula
+        underestimated blocked FPR ~7x; this feeds the binomial kernel's
+        min_count, so it must be the real probe-level FPR.
+        """
+        if not self.block_bits:
+            return self.occupancy() ** self.num_hashes
+        bytes_per_block = self.block_bits // 8
+        per_block = (
+            _POPCNT8[self.bits]
+            .reshape(-1, bytes_per_block)
+            .sum(axis=1, dtype=np.int64)
+        )
+        frac = per_block.astype(np.float64) / float(self.block_bits)
+        return float(np.mean(frac**self.num_hashes))
 
     def approx_fpr(self) -> float:
         """Reference's formula on the merged new-entry count."""

@@ -60,23 +60,81 @@ def hash_bytes(data: bytes) -> int:
     return int(splitmix64(np.asarray([h], dtype=np.uint64))[0])
 
 
-def hash_tokens(tokens, cache: dict | None = None) -> np.ndarray:
-    """Hash an iterable of str tokens → uint64 array, memoizing per token.
+def hash_str_array(strs) -> np.ndarray:
+    """Vectorized FNV-1a-64 + splitmix64 over a sequence of str.
 
-    Web-text token frequency is zipfian, so the cache hit rate is extreme;
-    the per-unique-token python cost amortizes to ~0.
+    Byte-identical to ``hash_bytes(s.encode('utf-8','surrogatepass'))`` per
+    element, but the FNV byte loop runs *across the batch*: strings are
+    sorted longest-first so the active set at byte position j is a shrinking
+    prefix — total numpy work = total encoded bytes, with only the utf-8
+    encode (cython, pandas ``str.encode``) touching Python objects.
     """
-    if cache is None:
-        cache = {}
-    out = np.empty(len(tokens), dtype=np.uint64)
-    get = cache.get
-    for i, t in enumerate(tokens):
-        h = get(t)
-        if h is None:
-            h = hash_bytes(t.encode("utf-8", "surrogatepass"))
-            cache[t] = h
-        out[i] = h
+    n = len(strs)
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    import pandas as pd
+
+    enc = pd.Series(strs, dtype=object).str.encode("utf-8", "surrogatepass").to_numpy()
+    lens = np.fromiter((len(b) for b in enc), count=n, dtype=np.int64)
+    order = np.argsort(-lens, kind="stable")
+    lens_s = lens[order]
+    flat = np.frombuffer(b"".join(enc[order]), dtype=np.uint8)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens_s[:-1], out=starts[1:])
+    h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    neg = -lens_s  # ascending; count(len > j) = searchsorted(neg, -j, 'left')
+    maxlen = int(lens_s[0])
+    prime = POLY_BASE
+    for j in range(maxlen):
+        active = int(np.searchsorted(neg, -j, side="left"))
+        idx = starts[:active] + j
+        h[:active] = (h[:active] ^ flat[idx]) * prime
+    out[order] = splitmix64(h)
     return out
+
+
+#: memo-size cap: beyond this the worker-lifetime token cache stops growing
+#: (zipf head stays resident; the long tail re-hashes via the vector path)
+_CACHE_MAX = 1 << 22
+
+
+def hash_tokens(tokens, cache: dict | None = None) -> np.ndarray:
+    """Hash an iterable of str tokens → uint64 array.
+
+    ``pd.factorize`` (C speed) collapses the batch to unique tokens; only
+    cache-missing uniques are hashed, via the vectorized batch hasher.
+    Web-text token frequency is zipfian, so the unique set is small and the
+    cross-batch cache hit rate is extreme.
+    """
+    import pandas as pd
+
+    n = len(tokens)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    codes, uniques = pd.factorize(
+        tokens if isinstance(tokens, np.ndarray) else np.asarray(tokens, dtype=object)
+    )
+    uniq_hashes = np.empty(len(uniques), dtype=np.uint64)
+    if cache is None:
+        uniq_hashes[:] = hash_str_array(uniques)
+    else:
+        get = cache.get
+        missing: list[str] = []
+        missing_pos: list[int] = []
+        for k, t in enumerate(uniques):
+            hv = get(t)
+            if hv is None:
+                missing.append(t)
+                missing_pos.append(k)
+            else:
+                uniq_hashes[k] = hv
+        if missing:
+            mh = hash_str_array(missing)
+            uniq_hashes[missing_pos] = mh
+            if len(cache) < _CACHE_MAX:
+                cache.update(zip(missing, mh.tolist()))
+    return uniq_hashes[codes]
 
 
 def shingle_hashes(token_hashes: np.ndarray, w: int) -> np.ndarray:

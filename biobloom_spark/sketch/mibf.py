@@ -1,0 +1,285 @@
+"""Multi-index Bloom filter (miBF) — the keyed sketch behind
+BioBloomMIMaker / BioBloomMICategorizer, re-expressed for distributed
+construction.
+
+Reference semantics (submodule MIBloomFilter.hpp is absent from the
+checkout; semantics reconstructed from call sites and docs):
+- one ID per slot: a slot array of ``uint16`` label IDs (IDs 1..32767,
+  0 = empty, high bit = saturation), max 32768 labels
+  (/root/reference/Doc/MultiIndex.md:165, Common/Options.h:11,
+  BioBloomMaker/MIBFGen.hpp:112-118);
+- 3-pass population (MIBFGen.hpp:131-309): occupied-bit pass, ID
+  insertion with "fair random" collision ownership (Doc/MultiIndex.md FAQ:
+  a slot contested by several labels is randomly assigned to one), then a
+  saturation pass marking the slots of elements that lost ALL their
+  positions;
+- sizing by target occupancy (default 0.5, MIBFGen ``-b``):
+  ``m = -n*h / ln(1 - occ)`` from the standard Bloom load formula;
+- spaced-seed hashing (stHashIterator): h = number of seeds, each seed a
+  binary mask over the k window — miss-tolerant matching.  Webtext analog:
+  skip-gram masks over the w-token shingle window.
+
+Distributed re-expression: "fair random" ownership becomes a
+*deterministic associative merge* — every (slot, label) claim carries a
+pseudo-random 64-bit tiebreak ``splitmix64(slot ⊕ label)`` and the
+slot's owner is the claim with the minimum tiebreak.  min() is
+associative/commutative/idempotent, so partial claim sets built per
+partition merge to the same owner array regardless of partitioning or
+merge order — the distributed equivalent of the reference's
+single-machine random assignment, with the same fairness (the winner is
+uniform among claimants) and full determinism on top.
+"""
+
+from __future__ import annotations
+
+import math
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .hashing import _MASK64, POLY_BASE, km_probe, splitmix64
+
+_U64 = np.uint64
+SAT_BIT = np.uint16(0x8000)
+ID_MASK = np.uint16(0x7FFF)
+MAX_LABELS = 32767  # uint16 minus saturation bit (Doc/MultiIndex.md:165)
+
+# ownership tiebreak: high 49 bits pseudo-random, low 15 bits the label
+# index — a deterministic total order whose winner is uniform among
+# claimants (collision fairness, Doc/MultiIndex.md FAQ) with no possibility
+# of an ambiguous tie.
+_TIE_LABEL_MASK = _U64(0x7FFF)
+_TIE_RAND_MASK = _U64(0xFFFFFFFFFFFF8000)
+
+__all__ = [
+    "MIBFSketch",
+    "MIBFClaims",
+    "mibf_size_slots",
+    "seed_masks_to_arrays",
+    "flat_seed_hashes",
+    "SAT_BIT",
+    "ID_MASK",
+    "MAX_LABELS",
+]
+
+
+def mibf_size_slots(n_entries: int, num_hashes: int, occupancy: float = 0.5) -> int:
+    """Slots for a target occupancy: m = ceil(-n*h / ln(1-occ)) (the Bloom
+    load identity occ = 1 - exp(-n*h/m); MIBFGen ``-b`` default 0.5)."""
+    n = max(1, int(n_entries))
+    m = -float(n) * num_hashes / math.log(1.0 - occupancy)
+    return max(64, int(math.ceil(m)))
+
+
+def seed_masks_to_arrays(seeds: list[str] | None, w: int) -> np.ndarray | None:
+    """Parse seed strings of '1'/'0' (length w) → bool matrix (h, w).
+
+    The webtext analog of spaced seeds (MIBloomFilter::parseSeedString,
+    called at MIBFGen.hpp:139): mask positions of the w-token shingle
+    window that participate in the hash — a skip-gram.  A '0' position is
+    ignored, so a corrupted token only breaks the seeds covering it.
+    """
+    if not seeds:
+        return None
+    arr = np.zeros((len(seeds), w), dtype=bool)
+    for i, s in enumerate(seeds):
+        if len(s) != w or set(s) - {"0", "1"}:
+            raise ValueError(f"seed {s!r} must be a {w}-char string of 0/1")
+        arr[i] = np.frombuffer(s.encode(), dtype=np.uint8) == ord("1")
+        if not arr[i].any():
+            raise ValueError("a seed must cover at least one position")
+    return arr
+
+
+def flat_seed_hashes(
+    token_hashes: np.ndarray, token_counts: np.ndarray, w: int, seeds: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-seed skip-gram hashes over a flat token batch.
+
+    Returns (hashes[h, n_frames], frame_offsets) where row i holds the
+    polynomial hash of the seed-i-masked positions of every frame —
+    the stHashIterator analog (one hash value per seed per frame,
+    /root/reference/Common/SeqEval.h uses them as the h probe values).
+    Each seed is salted so identical masked content under different seeds
+    probes different slots.
+    """
+    token_counts = np.asarray(token_counts, dtype=np.int64)
+    n = token_hashes.shape[0]
+    frames = np.maximum(0, token_counts - (w - 1))
+    offsets = np.zeros(token_counts.size + 1, dtype=np.int64)
+    np.cumsum(frames, out=offsets[1:])
+    total = int(offsets[-1])
+    h = seeds.shape[0]
+    if total == 0 or n < w:
+        return np.empty((h, 0), dtype=np.uint64), offsets
+    # valid frame-start flat indices (same ramp trick as flat_shingle_hashes)
+    tok_start = np.zeros(token_counts.size, dtype=np.int64)
+    np.cumsum(token_counts[:-1], out=tok_start[1:])
+    doc_of_frame = np.repeat(np.arange(token_counts.size), frames)
+    within = np.arange(total) - np.repeat(offsets[:-1], frames)
+    valid = tok_start[doc_of_frame] + within
+    out = np.empty((h, total), dtype=np.uint64)
+    for i in range(h):
+        acc = np.full(total, splitmix64(np.asarray([i + 1], dtype=np.uint64))[0])
+        for j in range(w):
+            if seeds[i, j]:
+                acc = (acc * POLY_BASE + token_hashes[valid + j]) & _MASK64
+        out[i] = splitmix64(acc)
+    return out, offsets
+
+
+def _probe_positions(frame_hashes: np.ndarray, num_hashes: int, m_slots: int) -> np.ndarray:
+    """K-M probe positions (num_hashes, n) for k-mer-mode miBF (no seeds)."""
+    h1, h2 = km_probe(frame_hashes)
+    m = np.int64(m_slots)
+    idx = (h1 % _U64(m_slots)).astype(np.int64)
+    step = (h2 % _U64(m_slots)).astype(np.int64)
+    out = np.empty((num_hashes, frame_hashes.size), dtype=np.int64)
+    out[0] = idx
+    for i in range(1, num_hashes):
+        idx = idx + step
+        idx[idx >= m] -= m
+        out[i] = idx
+    return out
+
+
+def seed_positions(seed_hash_rows: np.ndarray, m_slots: int) -> np.ndarray:
+    """Seed-mode probe positions: one per seed (row) per frame."""
+    return (seed_hash_rows % _U64(m_slots)).astype(np.int64)
+
+
+def claim_ties(slots: np.ndarray, label_idx: int) -> np.ndarray:
+    """Deterministic ownership tiebreaks for one label's slot claims."""
+    r = splitmix64(slots.astype(np.uint64) ^ splitmix64(np.full(slots.size, label_idx, dtype=np.uint64)))
+    return (r & _TIE_RAND_MASK) | _U64(label_idx)
+
+
+@dataclass
+class MIBFClaims:
+    """Sparse, mergeable ownership-claim set: the build-partial state.
+
+    ``slots``/``ties`` are parallel sorted-by-slot arrays holding, per
+    touched slot, the minimum tiebreak seen.  Merging two claim sets is a
+    sorted union with elementwise min — associative, commutative,
+    idempotent (the distributed analog of MIBFGen's insertMIBF pass).
+    """
+
+    slots: np.ndarray = field(default_factory=lambda: np.empty(0, dtype=np.int64))
+    ties: np.ndarray = field(default_factory=lambda: np.empty(0, dtype=np.uint64))
+
+    @classmethod
+    def from_positions(cls, positions: np.ndarray, label_idx: int) -> "MIBFClaims":
+        """positions: any-shape int64 slot indices claimed by one label."""
+        flat = np.unique(positions.ravel())
+        return cls(flat, claim_ties(flat, label_idx))
+
+    def merge(self, other: "MIBFClaims") -> "MIBFClaims":
+        if self.slots.size == 0:
+            return other
+        if other.slots.size == 0:
+            return self
+        allslots = np.concatenate([self.slots, other.slots])
+        allties = np.concatenate([self.ties, other.ties])
+        order = np.lexsort((allties, allslots))
+        allslots, allties = allslots[order], allties[order]
+        first = np.empty(allslots.size, dtype=bool)
+        first[0] = True
+        first[1:] = allslots[1:] != allslots[:-1]
+        return MIBFClaims(allslots[first], allties[first])
+
+    def serialize(self) -> bytes:
+        return zlib.compress(self.slots.tobytes() + self.ties.tobytes(), 1)
+
+    @classmethod
+    def deserialize(cls, payload: bytes) -> "MIBFClaims":
+        raw = zlib.decompress(payload)
+        half = len(raw) // 2
+        return cls(
+            np.frombuffer(raw[:half], dtype=np.int64).copy(),
+            np.frombuffer(raw[half:], dtype=np.uint64).copy(),
+        )
+
+
+@dataclass
+class MIBFSketch:
+    """The resolved multi-index Bloom filter: slot → owning label (+ sat).
+
+    ``ids[slot]`` = 0 empty, else (label_idx & ID_MASK) | optional SAT_BIT
+    — the uint16-per-slot economics of the reference (32768 labels max).
+    """
+
+    m_slots: int
+    num_hashes: int
+    shingle_w: int
+    labels: list[str]
+    ids: np.ndarray  # uint16[m_slots]
+    seeds: np.ndarray | None = None  # bool (h, w) skip-gram masks, None = k-mer mode
+
+    @classmethod
+    def from_claims(
+        cls, claims: MIBFClaims, m_slots: int, num_hashes: int, shingle_w: int,
+        labels: list[str], seeds: np.ndarray | None = None,
+    ) -> "MIBFSketch":
+        if len(labels) > MAX_LABELS:
+            raise ValueError(f"miBF supports at most {MAX_LABELS} labels")
+        ids = np.zeros(m_slots, dtype=np.uint16)
+        ids[claims.slots] = (claims.ties & _TIE_LABEL_MASK).astype(np.uint16)
+        return cls(m_slots, num_hashes, shingle_w, labels, ids, seeds)
+
+    # -- population --------------------------------------------------------
+    def positions_for(self, frame_hashes_or_rows: np.ndarray) -> np.ndarray:
+        """(h, n) probe positions: K-M in k-mer mode, per-seed in seed mode."""
+        if self.seeds is None:
+            return _probe_positions(frame_hashes_or_rows, self.num_hashes, self.m_slots)
+        return seed_positions(frame_hashes_or_rows, self.m_slots)
+
+    def lost_elements(self, positions: np.ndarray, label_idx: int) -> np.ndarray:
+        """Bool per frame: True when NO probe slot is owned by the label —
+        the elements the saturation pass marks (MIBFGen insertSaturation,
+        MIBFGen.hpp:196-223)."""
+        owners = self.ids[positions] & ID_MASK
+        return ~(owners == np.uint16(label_idx)).any(axis=0)
+
+    def apply_saturation(self, sat_slots: np.ndarray) -> None:
+        self.ids[sat_slots] |= SAT_BIT
+
+    # -- query -------------------------------------------------------------
+    def gather(self, positions: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(label_idx, saturated) uint16/bool arrays shaped like positions."""
+        raw = self.ids[positions]
+        return raw & ID_MASK, (raw & SAT_BIT) != 0
+
+    # -- stats ---------------------------------------------------------------
+    def slots_per_label(self) -> np.ndarray:
+        """Count of owned slots per label index (0 = empty bucket)."""
+        return np.bincount(
+            (self.ids & ID_MASK).astype(np.int64), minlength=len(self.labels) + 1
+        )
+
+    def per_frame_prob(self) -> np.ndarray:
+        """Per-label probability that a random frame reports the label:
+        p_i = 1 - (1 - slots_i/m)^h — the calcFrameProbs analog feeding the
+        binomial significance test (MIBFClassifier.hpp:87-88,901)."""
+        counts = self.slots_per_label().astype(np.float64)
+        p = 1.0 - (1.0 - counts / self.m_slots) ** self.num_hashes
+        return p  # index 0 = empty, 1..L = labels
+
+    def occupancy(self) -> float:
+        return float((self.ids != 0).mean())
+
+    def saturation_rate(self) -> float:
+        occ = (self.ids != 0).sum()
+        return float(((self.ids & SAT_BIT) != 0).sum() / max(1, occ))
+
+    # -- serde ---------------------------------------------------------------
+    def serialize(self) -> bytes:
+        return self.ids.tobytes()
+
+    @classmethod
+    def deserialize(
+        cls, payload: bytes, m_slots: int, num_hashes: int, shingle_w: int,
+        labels: list[str], seeds: np.ndarray | None = None, copy: bool = False,
+    ) -> "MIBFSketch":
+        arr = np.frombuffer(payload, dtype=np.uint16)
+        return cls(m_slots, num_hashes, shingle_w, labels, arr.copy() if copy else arr, seeds)

@@ -89,20 +89,48 @@ class TestMaker:
         reg1 = build_filters(
             spark, corpus, id_col="url", partials_path=ppath,
             build=BuildConfig(num_buckets=4, merge_groups=2), keys=["en"],
+            snapshot_id="corpus-v1",
         )
         bitmap1 = {r["filter_id"]: bytes(r["bitmap"]) for r in reg1.collect()}
         assert os.path.exists(ppath)
         # lineage rows written, one per (filter, bucket)
         lineage = spark.read.parquet(ppath + "_lineage")
         assert lineage.count() == lineage.select("filter_id", "bucket").distinct().count()
-        # resume: all partials complete → rebuild reuses them (and the
-        # merged bitmap is unchanged)
+        # resume against the SAME snapshot: all partials complete → rebuild
+        # reuses them (and the merged bitmap is unchanged)
+        n_partials = spark.read.parquet(ppath).count()
         reg2 = build_filters(
             spark, corpus, id_col="url", partials_path=ppath,
             build=BuildConfig(num_buckets=4, merge_groups=2), keys=["en"],
+            snapshot_id="corpus-v1",
         )
         bitmap2 = {r["filter_id"]: bytes(r["bitmap"]) for r in reg2.collect()}
         assert bitmap1 == bitmap2
+        # no new partials were appended — the checkpoint was actually reused
+        assert spark.read.parquet(ppath).count() == n_partials
+
+    def test_resume_rejects_changed_snapshot(self, spark, corpus, tmp_path):
+        """A changed input snapshot must NOT silently reuse stale partials
+        (which would drop/double-count data); the build starts fresh."""
+        ppath = str(tmp_path / "partials")
+        build_filters(
+            spark, corpus.limit(100), id_col="url", partials_path=ppath,
+            build=BuildConfig(num_buckets=4, merge_groups=2), keys=["en"],
+            snapshot_id="corpus-v1",
+        )
+        # different snapshot id → stale partials discarded, full rebuild
+        reg = build_filters(
+            spark, corpus, id_col="url", partials_path=ppath,
+            build=BuildConfig(num_buckets=4, merge_groups=2), keys=["en"],
+            snapshot_id="corpus-v2",
+        )
+        ref = build_filters(
+            spark, corpus, id_col="url",
+            build=BuildConfig(num_buckets=4, merge_groups=2), keys=["en"],
+        )
+        got = {r["filter_id"]: bytes(r["bitmap"]) for r in reg.collect()}
+        want = {r["filter_id"]: bytes(r["bitmap"]) for r in ref.collect()}
+        assert got == want
 
     def test_subtract_filter_veto(self, spark, corpus):
         """U2 semantics (BloomFilterGenerator.cpp:1175-1199): frames present

@@ -1,0 +1,221 @@
+"""miBF tests — the multi-index family (SURVEY §2 A7/A8/T2/M-miBF).
+
+Covers: sizing, deterministic fair ownership, merge associativity of the
+claims state, saturation semantics, classification significance +
+best/secondary -m window (MIBFClassifier.hpp:842-930 analogs), and the
+skip-gram (spaced-seed analog) miss tolerance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from biobloom_spark.config import MULTI_MATCH, NO_MATCH
+from biobloom_spark.operators.mibf import build_mibf, classify_mibf, mibf_summarize
+from biobloom_spark.sketch.mibf import (
+    ID_MASK,
+    SAT_BIT,
+    MIBFClaims,
+    MIBFSketch,
+    flat_seed_hashes,
+    mibf_size_slots,
+    seed_masks_to_arrays,
+)
+
+
+def _vocab_texts(rng, vocab_prefix, n_docs, n_tokens, vocab_size=400):
+    return [
+        " ".join(
+            f"{vocab_prefix}{int(v)}" for v in rng.integers(0, vocab_size, n_tokens)
+        )
+        for _ in range(n_docs)
+    ]
+
+
+@pytest.fixture(scope="module")
+def labeled_corpus(spark):
+    rng = np.random.default_rng(5)
+    rows = []
+    for lab in ("alpha", "beta", "gamma"):
+        for i, text in enumerate(_vocab_texts(rng, lab, 40, 60)):
+            rows.append((f"{lab}-{i}", text, lab))
+    return spark.createDataFrame(rows, "doc_id string, text string, lang string").cache()
+
+
+@pytest.fixture(scope="module")
+def mibf(spark, labeled_corpus):
+    return build_mibf(spark, labeled_corpus, key_col="lang", occupancy=0.5)
+
+
+class TestSketch:
+    def test_sizing_occupancy(self, mibf):
+        # m = -n*h/ln(1-occ): realized occupancy must be near the target
+        # (upper-bound sizing makes it come in slightly under)
+        assert 0.2 < mibf.occupancy() <= 0.55
+
+    def test_claims_merge_associative(self):
+        rng = np.random.default_rng(1)
+        parts = [
+            MIBFClaims.from_positions(rng.integers(0, 1000, (3, 50)), li)
+            for li in (1, 2, 3)
+        ]
+        left = parts[0].merge(parts[1]).merge(parts[2])
+        right = parts[0].merge(parts[1].merge(parts[2]))
+        assert np.array_equal(left.slots, right.slots)
+        assert np.array_equal(left.ties, right.ties)
+        # idempotent
+        again = left.merge(parts[1])
+        assert np.array_equal(again.slots, left.slots)
+        assert np.array_equal(again.ties, left.ties)
+
+    def test_ownership_deterministic_across_partitionings(self, spark, labeled_corpus):
+        a = build_mibf(spark, labeled_corpus.repartition(1), key_col="lang")
+        b = build_mibf(spark, labeled_corpus.repartition(7), key_col="lang")
+        assert a.serialize() == b.serialize()
+
+    def test_one_id_per_slot_uint16(self, mibf):
+        assert mibf.ids.dtype == np.uint16
+        occupied = mibf.ids[mibf.ids != 0]
+        assert ((occupied & ID_MASK) >= 1).all()
+        assert ((occupied & ID_MASK) <= len(mibf.labels)).all()
+
+    def test_saturation_marks_total_losses(self, spark):
+        """Two labels with IDENTICAL content: every slot is contested, one
+        label loses each; lost-everywhere frames mark saturation."""
+        text = " ".join(f"t{i}" for i in range(100))
+        df = spark.createDataFrame(
+            [("a1", text, "a"), ("b1", text, "b")], "doc_id string, text string, lang string"
+        )
+        sk = build_mibf(spark, df, key_col="lang", occupancy=0.5)
+        # identical frames -> every occupied slot contested; a frame is
+        # totally lost by one label w.p. 2*(1/2)^h = 1/4, so a meaningful
+        # saturated fraction must appear
+        assert sk.saturation_rate() > 0.05
+        # invariant: every totally-lost frame's slots carry the sat bit
+        from biobloom_spark.functions.text import batch_doc_shingles
+
+        frames, _o, _t, _c = batch_doc_shingles(np.array([text]), 3)
+        pos = sk.positions_for(frames)
+        for li in (1, 2):
+            lost = sk.lost_elements(pos, li)
+            if lost.any():
+                raw = sk.ids[pos[:, lost]]
+                assert ((raw & SAT_BIT) != 0).all()
+
+    def test_serde_roundtrip(self, mibf):
+        back = MIBFSketch.deserialize(
+            mibf.serialize(), mibf.m_slots, mibf.num_hashes, mibf.shingle_w,
+            mibf.labels, mibf.seeds,
+        )
+        assert np.array_equal(back.ids, mibf.ids)
+
+
+class TestClassify:
+    def test_training_docs_classify_to_own_label(self, spark, labeled_corpus, mibf):
+        res = classify_mibf(spark, labeled_corpus, mibf).join(
+            labeled_corpus.select("doc_id", "lang"), on="doc_id"
+        )
+        rows = res.collect()
+        correct = sum(r["assigned"] == r["lang"] for r in rows)
+        assert correct / len(rows) >= 0.99
+
+    def test_random_docs_no_match(self, spark, mibf):
+        rng = np.random.default_rng(77)
+        noise = spark.createDataFrame(
+            [(f"n{i}", t) for i, t in enumerate(_vocab_texts(rng, "zz", 30, 60))],
+            "doc_id string, text string",
+        )
+        res = classify_mibf(spark, noise, mibf)
+        assert res.filter(F.col("assigned") != NO_MATCH).count() == 0
+
+    def test_short_doc_is_nomatch(self, spark, mibf):
+        df = spark.createDataFrame([("s", "alpha1 alpha2")], "doc_id string, text string")
+        row = classify_mibf(spark, df, mibf).collect()[0]
+        assert row["assigned"] == NO_MATCH and row["n_frames"] == 0
+
+    def test_multi_match_window(self, spark):
+        """A doc equally similar to two labels lands multiMatch; the -m
+        window controls the call (Doc/MultiIndex.md §5)."""
+        rng = np.random.default_rng(9)
+        a = _vocab_texts(rng, "sh", 31, 60, vocab_size=200)
+        shared = a[30]  # one text present in BOTH labels
+        rows = [(f"a-{i}", t, "la") for i, t in enumerate(a[:15] + [shared])]
+        rows += [(f"b-{i}", t, "lb") for i, t in enumerate(a[15:30] + [shared])]
+        df = spark.createDataFrame(rows, "doc_id string, text string, lang string")
+        # with only 2 labels, a 0.5-occupancy filter gives each label a huge
+        # per-frame null prob (the reference's "more sequences lower the FPR"
+        # note, Doc/MultiIndex.md §5) — use a sparse filter so the binomial
+        # test has power at 58 frames
+        sk = build_mibf(spark, df, key_col="lang", occupancy=0.1)
+        probe = spark.createDataFrame(
+            [("q", shared)], "doc_id string, text string"
+        )
+        # the shared text's contested slots split ~evenly between labels:
+        # both significant, and with a wide-open window the read multimaps
+        row = classify_mibf(spark, probe, sk, multi_thresh=1000).collect()[0]
+        assert row["assigned"] == MULTI_MATCH
+        assert set(row["hits"]) == {"la", "lb"}
+        # a zero window keeps only the single best hit
+        row0 = classify_mibf(spark, probe, sk, multi_thresh=0).collect()[0]
+        assert row0["assigned"] in ("la", "lb") and len(row0["hits"]) == 1
+
+    def test_summary_rows(self, spark, labeled_corpus, mibf):
+        res = classify_mibf(spark, labeled_corpus, mibf)
+        summ = {r["assigned"]: r["n_docs"] for r in mibf_summarize(res).collect()}
+        assert sum(summ.values()) == labeled_corpus.count()
+
+
+class TestSeeds:
+    def test_seed_parsing(self):
+        arr = seed_masks_to_arrays(["110", "011", "101"], 3)
+        assert arr.shape == (3, 3) and arr.sum() == 6
+        with pytest.raises(ValueError):
+            seed_masks_to_arrays(["000"], 3)
+        with pytest.raises(ValueError):
+            seed_masks_to_arrays(["11"], 3)
+
+    def test_seed_hashes_mask_sensitivity(self):
+        """A seed ignoring position j must produce identical hashes for
+        token streams differing only at j within the window."""
+        toks_a = np.arange(10, dtype=np.uint64) + 100
+        toks_b = toks_a.copy()
+        toks_b[1] = 999  # mutate position 1
+        seeds = seed_masks_to_arrays(["101", "110"], 3)
+        counts = np.asarray([10])
+        ha, _ = flat_seed_hashes(toks_a, counts, 3, seeds)
+        hb, _ = flat_seed_hashes(toks_b, counts, 3, seeds)
+        # seed '101' skips window position 1: frame 0 (tokens 0,1,2) hash equal
+        assert ha[0, 0] == hb[0, 0]
+        # seed '110' covers position 1: frame 0 differs
+        assert ha[1, 0] != hb[1, 0]
+        # frames not covering token 1 are identical everywhere
+        assert np.array_equal(ha[:, 3:], hb[:, 3:])
+
+    def test_seeded_mibf_miss_tolerance(self, spark):
+        """Spaced seeds classify reads with scattered token corruptions
+        that break every contiguous shingle — the sensitivity win the
+        reference documents (Doc/MultiIndex.md §4)."""
+        rng = np.random.default_rng(13)
+        vocab = [f"v{i}" for i in range(300)]
+        base = [" ".join(rng.choice(vocab, 80)) for _ in range(20)]
+        df = spark.createDataFrame(
+            [(f"d{i}", t, "lab") for i, t in enumerate(base)],
+            "doc_id string, text string, lang string",
+        )
+        w = 5
+        seeds = ["11011", "10111", "11101"]  # each tolerates one gap position
+        sk = build_mibf(spark, df, key_col="lang", shingle_w=w, seeds=seeds,
+                        occupancy=0.05)
+        # corrupt every 5th token of a training doc: every contiguous
+        # 5-shingle contains >=1 corruption, but seeds skipping that
+        # position still fire
+        toks = base[0].split()
+        for j in range(2, len(toks), 5):
+            toks[j] = "CORRUPT"
+        probe = spark.createDataFrame(
+            [("q", " ".join(toks))], "doc_id string, text string"
+        )
+        row = classify_mibf(spark, probe, sk, alpha=1e-6).collect()[0]
+        assert row["assigned"] == "lab"

@@ -1,0 +1,83 @@
+"""Plan audits: the scale guarantees are plan properties — assert them.
+
+A refactor that silently adds a shuffle to categorize, or un-prunes the
+sizing scan, passes every correctness test and still melts a
+1000-executor run.  These tests pin the plan shape.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from biobloom_spark.config import BloomParams, BuildConfig
+from biobloom_spark.operators.categorizer import categorize
+from biobloom_spark.operators.dedup import embedding_near_dups, minhash_lsh_pairs
+from biobloom_spark.operators.maker import build_filters, load_registry
+from biobloom_spark.plans import (
+    assert_no_cartesian,
+    assert_no_shuffle,
+    count_exchanges,
+    scan_read_schema,
+)
+
+SMOKE_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def pq_corpus(spark, tmp_path_factory):
+    """Parquet-backed corpus so scans show ReadSchema / pushed filters."""
+    from biobloom_spark.corpus import generate_corpus
+
+    path = str(tmp_path_factory.mktemp("plans") / "corpus")
+    generate_corpus(spark, 200, seed=3, langs=("en", "de"), mean_tokens=40).write.parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_categorize_plan_is_shuffle_free(spark, pq_corpus):
+    """J1 contract: broadcast filters + one mapInPandas — the corpus moves
+    zero times (SURVEY.md §2.3; the 100 TB plan)."""
+    reg = load_registry(
+        build_filters(spark, pq_corpus, id_col="url",
+                      build=BuildConfig(num_buckets=1, merge_groups=1))
+    )
+    result = categorize(spark, pq_corpus, reg, id_col="url")
+    assert_no_shuffle(result, "categorize")
+
+
+def test_categorize_scan_prunes_columns(spark, pq_corpus):
+    """Categorize reads only (id, text) — the scan must not drag the other
+    corpus columns through the Arrow bridge."""
+    reg = load_registry(
+        build_filters(spark, pq_corpus, id_col="url",
+                      build=BuildConfig(num_buckets=1, merge_groups=1))
+    )
+    result = categorize(spark, pq_corpus, reg, id_col="url")
+    cols = scan_read_schema(result)
+    assert set(cols) == {"url", "text"}, cols
+
+
+def test_lsh_joins_are_not_cartesian(spark, pq_corpus):
+    """Candidate generation must stay bucket-join shaped."""
+    pairs = minhash_lsh_pairs(pq_corpus, id_col="url", num_perm=32, bands=8)
+    assert_no_cartesian(pairs, "minhash_lsh_pairs")
+
+
+def test_embedding_lsh_not_cartesian(spark):
+    embs = spark.read.parquet(os.path.join(SMOKE_DIR, "embeddings.parquet"))
+    pairs = embedding_near_dups(embs, tables=4, lsh_planes=8)
+    assert_no_cartesian(pairs, "embedding_near_dups")
+
+
+def test_bucketed_build_shuffles_corpus_once(spark, pq_corpus):
+    """The salted bucketed build moves documents exactly once (stage 2);
+    later stages shuffle only sketch-sized partial rows."""
+    reg = build_filters(
+        spark, pq_corpus, id_col="url",
+        params=BloomParams(),
+        build=BuildConfig(strategy="bucketed", num_buckets=4, merge_groups=2),
+    )
+    # corpus-sized exchanges: the repartition before applyInPandas; the
+    # partial/merge exchanges carry a handful of sketch rows each
+    assert count_exchanges(reg) <= 3, count_exchanges(reg)

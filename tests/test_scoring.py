@@ -151,3 +151,97 @@ class TestSkipReferenceMode:
         batch, flat = _batch_from_bools([hit.tolist()])
         full, _ = score_batch(flat, batch, cfg, 0.01, 3)
         assert score_with_skip_reference(hit, hit.size, cfg) == pytest.approx(full[0])
+
+
+def _eval_simple_reference_literal(hit, threshold, streak_threshold, k, anti_exit=True):
+    """Literal decision-level transcription of evalSimple
+    (/root/reference/Common/SeqEval.h:37-114) over a precomputed hit
+    vector (clean read: itr.pos() always advances by 1 except skips):
+    denormalized thresholds, anti-score early exit, and the
+    skip-k-frames-after-streak-miss heuristic at SeqEval.h:94-110.
+    ``anti_exit=False`` disables the anti-score rejection (floor() makes it
+    strictly more aggressive than the exhaustive threshold — a real
+    sensitivity reduction, separate from the skip heuristic)."""
+    frames = len(hit)
+    if frames == 0:
+        return False
+    thres = threshold * frames  # denormalizeScore(threshold, k, len)
+    anti_thres = math.floor((1.0 - threshold) * frames) if anti_exit else frames + 1
+    score, anti, streak = 0.0, 0, 0
+    if hit[0]:
+        score += 0.5
+        if thres <= score:
+            return True
+        streak += 1
+    else:
+        anti += 1
+        if anti_thres <= anti:
+            return False
+    i = 1
+    while i < frames:
+        if hit[i]:
+            score += 0.5 if streak == 0 else 1.0
+            if thres <= score:
+                return True
+            i += 1
+            streak += 1
+        else:
+            if streak < streak_threshold:
+                anti += 1
+                if anti_thres <= anti:
+                    return False
+                i += 1
+            else:
+                skip_end = i + k  # skipEnd = itr.pos() + kmerSize
+                while i < skip_end:
+                    anti += 1
+                    if anti_thres <= anti:
+                        return False
+                    i += 1
+            streak = 0
+    return False
+
+
+class TestSkipReferenceDifferential:
+    def test_decision_parity_vs_literal_transcription(self):
+        """score_with_skip_reference must make the identical match decision
+        as the literal SeqEval.h transcription on random hit vectors (the
+        anti-score early exit is a pure optimization: when it fires, the
+        final score provably can't reach the threshold)."""
+        rng = np.random.default_rng(7)
+        cfg = ScoringConfig(method="simple", streak_threshold=3)
+        w = 3
+        for trial in range(500):
+            frames = int(rng.integers(1, 40))
+            density = rng.uniform(0.1, 0.9)
+            hit = rng.random(frames) < density
+            theta = float(rng.choice([0.15, 0.35, 0.55, 0.75]))
+            got_score = score_with_skip_reference(hit, frames, cfg, shingle_w=w)
+            # compare in denormalized space, same arithmetic as the reference
+            got = theta * frames <= got_score * frames + 1e-9
+            # skip-heuristic parity: identical decision with anti-exit off
+            ref = _eval_simple_reference_literal(
+                hit, theta, cfg.streak_threshold, w, anti_exit=False
+            )
+            assert got == ref, (trial, hit.tolist(), theta)
+            # the anti-score exit only ever flips match -> noMatch (it is a
+            # rejection heuristic): whenever the full reference says True,
+            # the skip scorer must agree
+            ref_full = _eval_simple_reference_literal(
+                hit, theta, cfg.streak_threshold, w, anti_exit=True
+            )
+            assert (not ref_full) or got, (trial, hit.tolist(), theta)
+
+    def test_skip_jump_is_shingle_window(self):
+        """After a miss on a streak >= streak_threshold the scorer must jump
+        exactly w frames (SeqEval.h:103 jumps kmerSize): a hit placed w-1
+        after the miss is skipped; a hit at w after the miss is seen."""
+        cfg = ScoringConfig(method="simple", streak_threshold=3)
+        w = 4
+        base = [1, 1, 1, 0]  # streak of 3 then a miss at i=3 -> skip to i=7
+        skipped = np.array(base + [0, 0, 0, 1, 0, 0], dtype=bool)  # hit at 7
+        seen = score_with_skip_reference(skipped, skipped.size, cfg, shingle_w=w)
+        assert seen * skipped.size == pytest.approx(0.5 + 1 + 1 + 0.5)  # hit at 7 seen
+        inside = np.array(base + [0, 1, 0, 0, 0, 0], dtype=bool)  # hit at 5 (inside skip)
+        missed = score_with_skip_reference(inside, inside.size, cfg, shingle_w=w)
+        assert missed * inside.size == pytest.approx(0.5 + 1 + 1)  # hit at 5 skipped
