@@ -237,6 +237,31 @@ def q_extract_text_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_text_hashes(wrapped, html_col="html")
 
 
+def q_mibf_classify_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """miBF maker + classifier (A7/A8/T2/M-miBF): one multi-index filter
+    over all langs, Bonferroni binomial classification, per-label summary.
+
+    Gate design: tokens are lang-prefixed so label vocabularies are
+    disjoint by construction — then slot-ownership contention (the only
+    miBF-internal, hash-dependent effect) cannot flip a decision, and the
+    exact DuckDB twin is simply lang (noMatch for <w tokens).  The
+    shared-vocabulary semantics (saturation, multiMatch window) are
+    pytest-verified in tests/test_mibf.py instead.
+    """
+    from biobloom_spark.operators.mibf import build_mibf, classify_mibf
+    from biobloom_spark.sources.tables import tokens_col
+
+    docs = _docs(spark, sf_dir)
+    pref = F.array_join(
+        F.transform(tokens_col("text"), lambda t: F.concat(F.col("lang"), F.lit("_"), t)),
+        " ",
+    )
+    d = docs.select("doc_id", "lang", pref.alias("text"))
+    sk = build_mibf(spark, d, key_col="lang", shingle_w=SHINGLE_W, occupancy=0.1)
+    res = classify_mibf(spark, d, sk)
+    return res.groupBy("assigned").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 def q_language_id_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID via besthit categorization; per-predicted-lang counts
     (Bloom-based → rows-only; accuracy pytest-verified)."""
@@ -269,6 +294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "ivf_topk": q_ivf_topk,
         "doc_fingerprints": q_doc_fingerprints,
+        "mibf_classify_summary": q_mibf_classify_summary,
         "extract_text_hashes": q_extract_text_hashes,
         "language_id_summary": q_language_id_summary,
     }
@@ -435,6 +461,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extract_text_hashes": """
             SELECT doc_id, md5(text) AS text_md5 FROM documents
+        """,
+        "mibf_classify_summary": f"""
+            SELECT CASE WHEN len({_TOKS}) >= {SHINGLE_W} THEN lang
+                        ELSE 'noMatch' END AS assigned,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1
         """,
         # rows-only (approximate / hash-specific, pytest-verified instead):
         # bloom_categorize_summary, minhash_lsh_dups, simhash_dups,

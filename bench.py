@@ -94,6 +94,20 @@ def main() -> None:
         lambda: summarize_fused(spark, docs, filters, id_col="doc_id").collect(),
     )
 
+    # miBF pipeline (multi-index build + classify; A7/A8/T2)
+    from biobloom_spark.operators.mibf import build_mibf, classify_mibf
+
+    sk = timed(
+        "mibf_build",
+        lambda: build_mibf(spark, docs, key_col="lang", occupancy=0.1),
+        reps=1,  # 3-pass job; single rep keeps the bench under budget
+    )
+    timed(
+        "mibf_classify",
+        lambda: classify_mibf(spark, docs, sk)
+        .groupBy("assigned").count().collect(),
+    )
+
     # oracle-checked relational slices
     for qname in ("sizing_prepass", "distinct_shingles", "exact_classify_summary"):
         fn = entrymod.queries()[qname]

@@ -80,15 +80,24 @@ def size_filters(
     """
     # token-count upper bound by *whitespace character* counting (no array
     # allocation — the regex-split agg cost more than the whole partial
-    # build on large corpora).  tokenize() splits on any whitespace run, and
-    # tokens <= whitespace chars + 1 always (a run of j ws chars separates at
-    # most one boundary but counts j), so this is a true upper bound — exact
-    # for the extractor's single-space output contract.  Overcounting only
-    # makes the filter conservatively larger, same spirit as the reference
-    # counting duplicate k-mers (BloomFilterGenerator.h:108-141).
+    # build on large corpora; and a `\s` regexp_replace over the full
+    # corpus measured 12 s of a 87 s build — translate() is non-regex and
+    # ~free).  tokenize() splits on any whitespace run, and tokens <=
+    # whitespace chars + 1 always (a run of j ws chars separates at most
+    # one boundary but counts j), so this is a true upper bound for every
+    # whitespace codepoint in the charset below (ASCII + the unicode
+    # spaces str.split() honors) — exact for the extractor's single-space
+    # output contract.  Overcounting only makes the filter conservatively
+    # larger, same spirit as the reference counting duplicate k-mers
+    # (BloomFilterGenerator.h:108-141).
+    ws_chars = (
+        " \t\n\r\x0b\x0c\x1c\x1d\x1e\x1f\x85\xa0\u1680"
+        + "".join(chr(c) for c in range(0x2000, 0x200B))
+        + "\u2028\u2029\u202f\u205f\u3000"
+    )
     t = F.trim(F.col(text_col))
     n_tokens_ub = F.when(F.length(t) == 0, F.lit(0)).otherwise(
-        F.length(t) - F.length(F.regexp_replace(t, F.lit(r"\s"), F.lit(""))) + 1
+        F.length(t) - F.length(F.translate(t, ws_chars, "")) + 1
     )
     frames_ub = F.greatest(F.lit(0), n_tokens_ub - F.lit(params.shingle_w - 1))
     agg = (
@@ -113,6 +122,14 @@ def size_filters(
             "block_bits": block_bits,
         }
     return out
+
+
+def _pack_dense(raw: bytes) -> bytes:
+    """Dense bitmap payload: zlib only when it actually pays (low-occupancy
+    bitmaps shrink 10-50x; half-full ones barely shrink and the deflate
+    pass costs more than the shuffle bytes it saves)."""
+    z = zlib.compress(raw, 1)
+    return b"D" + z if len(z) < (len(raw) * 3) // 4 else b"E" + raw
 
 
 def _snapshot_path(partials_path: str) -> str:
@@ -264,15 +281,18 @@ def _build_partition_fn(sizing: dict, params: BloomParams, text_col: str, key_co
             n_new = int(uniq.size)
             n_ins = n_frames_tot[fid]
             if uniq.nbytes < meta["m_bits"] // 8:
-                payload = b"H" + zlib.compress(uniq.tobytes(), 1)
+                # raw sparse: uniform-random 64-bit hashes are
+                # incompressible (zlib-1 measured 6% shrink for ~0.5 s per
+                # map task) — tag "R", no compression
+                payload = b"R" + uniq.tobytes()
             else:
                 bloom = BloomSketch(
                     m_bits=meta["m_bits"],
                     num_hashes=meta["num_hashes"],
                     block_bits=meta.get("block_bits", params.block_bits),
                 )
-                bloom.update_batch(uniq)
-                payload = b"D" + zlib.compress(bloom.serialize(), 1)
+                bloom.update_batch(uniq, assume_unique=True)
+                payload = _pack_dense(bloom.serialize())
             rows.append(
                 (
                     fid,
@@ -319,17 +339,18 @@ def _merge_partials_fn(sizing: dict, out_schema, final: bool, params: BloomParam
         for _, row in pdf.iterrows():
             payload = bytes(row["bitmap"])
             tag, body = payload[:1], payload[1:]
-            if tag == b"H":
+            if tag == b"R":
+                sparse_parts.append(np.frombuffer(body, dtype=np.uint64))
+            elif tag == b"H":
                 sparse_parts.append(
                     np.frombuffer(zlib.decompress(body), dtype=np.uint64)
                 )
-            elif tag == b"D":
+            elif tag in (b"D", b"E"):
                 saw_dense = True
                 if bloom is None:
                     bloom = BloomSketch(m_bits=m, num_hashes=h, block_bits=bb)
-                bloom.bits |= np.frombuffer(
-                    zlib.decompress(body), dtype=np.uint8
-                )
+                raw = zlib.decompress(body) if tag == b"D" else body
+                bloom.bits |= np.frombuffer(raw, dtype=np.uint8)
             else:  # pragma: no cover - unknown tag
                 raise ValueError(f"unknown partial bitmap tag {tag!r}")
             n_new += int(row["n_new"])
@@ -353,15 +374,15 @@ def _merge_partials_fn(sizing: dict, out_schema, final: bool, params: BloomParam
             # pure-sparse union stays sparse: level-1 merges are then just
             # sorted-set unions; the single densify happens at the final
             # merge — one scatter pass per filter total
-            payload = b"H" + zlib.compress(uniq.tobytes(), 1)
+            payload = b"R" + uniq.tobytes()
             n_new_out, n_red_out = int(uniq.size), n_ins - int(uniq.size)
         else:
             if bloom is None:
                 bloom = BloomSketch(m_bits=m, num_hashes=h, block_bits=bb)
             if uniq.size:
-                bloom.update_batch(uniq)
+                bloom.update_batch(uniq, assume_unique=True)
             payload = (
-                b"D" + zlib.compress(bloom.serialize(), 1) if not final else bloom.serialize()
+                _pack_dense(bloom.serialize()) if not final else bloom.serialize()
             )
             n_new_out, n_red_out = n_new, n_red
         common = {
@@ -542,14 +563,26 @@ def build_filters(
     else:
         partials = new_partials
 
-    # --- stage 3: two-level merge ---------------------------------------
+    # --- stage 3: merge ---------------------------------------------------
+    # level-1 exists to bound the final merge's fan-in (no single-reducer
+    # hotspot at thousands of buckets).  With few partials per filter it is
+    # pure overhead — an extra decompress/re-pack round over ~all the
+    # partial bytes — so it only runs when the (statically known) partial
+    # count is large; the threshold keeps final fan-in <= ~32.
     g = max(1, build.merge_groups)
-    level1 = (
-        partials.withColumn("bucket", F.pmod(F.col("bucket"), F.lit(g)).cast("int"))
-        .groupBy("filter_id", "bucket")
-        .applyInPandas(_merge_partials_fn(sizing, PARTIAL_SCHEMA, False, params), schema=PARTIAL_SCHEMA)
-    )
-    registry = level1.groupBy("filter_id").applyInPandas(
+    if strategy == "partition":
+        n_partials = todo.rdd.getNumPartitions()
+    else:
+        n_partials = build.num_buckets
+    if partials_path is None and n_partials <= max(32, 2 * g):
+        merge_in = partials
+    else:
+        merge_in = (
+            partials.withColumn("bucket", F.pmod(F.col("bucket"), F.lit(g)).cast("int"))
+            .groupBy("filter_id", "bucket")
+            .applyInPandas(_merge_partials_fn(sizing, PARTIAL_SCHEMA, False, params), schema=PARTIAL_SCHEMA)
+        )
+    registry = merge_in.groupBy("filter_id").applyInPandas(
         _merge_partials_fn(sizing, REGISTRY_SCHEMA, True, params), schema=REGISTRY_SCHEMA
     )
 

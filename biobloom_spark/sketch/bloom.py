@@ -217,18 +217,21 @@ class BloomSketch:
         return km_indices_iter(h1, h2, self.num_hashes, self.m_bits)
 
     # -- update -----------------------------------------------------------
-    def update_batch(self, hashes: np.ndarray) -> int:
+    def update_batch(self, hashes: np.ndarray, assume_unique: bool = False) -> int:
         """Insert a batch of 64-bit frame hashes; returns # already present.
 
         Mirrors insertAndCheck (BloomFilterGenerator.h:170-178): an item is
         "redundant" iff all h bits were already set before this insert.
         Duplicate items *within* the batch are resolved sequentially-exactly
         by a first-occurrence pass (np.unique), matching scan-order behavior.
+        ``assume_unique=True`` skips that sort when the caller already
+        deduplicated (the merge path feeds pre-uniqued sparse unions —
+        re-sorting 10^7 hashes per merge task was pure waste).
         """
         if hashes.size == 0:
             return 0
         # first occurrences: a repeated hash within the batch is redundant
-        uniq = np.unique(hashes)
+        uniq = hashes if assume_unique else np.unique(hashes)
         h1, h2 = km_probe(uniq)
         if self.block_bits == 64:
             words = self._words()

@@ -52,3 +52,51 @@ def stream_from_parquet_dir(
         static = spark.read.parquet(path)
         reader = reader.schema(static.schema)
     return reader.load(path)
+
+
+def classify_mibf_stream(
+    spark: SparkSession,
+    stream: DataFrame,
+    sketch,
+    alpha: float = 1e-10,
+    multi_thresh: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming miBF classification — same stateless broadcast pass as
+    ``operators.mibf.classify_mibf``, per micro-batch."""
+    from ..operators.mibf import classify_mibf
+
+    if not stream.isStreaming:
+        raise ValueError("classify_mibf_stream expects a streaming DataFrame")
+    return classify_mibf(
+        spark, stream, sketch, alpha=alpha, multi_thresh=multi_thresh,
+        id_col=id_col, text_col=text_col,
+    )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stateful streaming exact-dedup: keep the first arrival of each
+    content hash within the watermark horizon.
+
+    ``dropDuplicates`` on the content hash is Spark's built-in keyed state
+    store (RocksDB-backed on a real cluster); the watermark bounds state so
+    a 10^12-page crawl stream doesn't accumulate unbounded hashes — late
+    duplicates beyond the horizon re-emerge, the standard
+    bounded-state/completeness trade.
+    """
+    from pyspark.sql import functions as F
+
+    if not stream.isStreaming:
+        raise ValueError("dedup_stream expects a streaming DataFrame")
+    return (
+        stream.withColumn("__h", F.xxhash64(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicates(["__h"])
+        .drop("__h")
+    )

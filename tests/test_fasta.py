@@ -97,3 +97,76 @@ class TestFastaSource:
         pairs = {r["pair_key"]: r for r in pair_reads(df).collect()}
         assert pairs["p1"]["text1"] == "AAAA" and pairs["p1"]["text2"] == "CCCC"
         assert pairs["p2"]["text2"] is None
+
+
+class TestBFFormat:
+    """.bf + INI container interop (README.md:140-146;
+    BloomFilterInfo.cpp:31-116; size invariant Tests/BloomFilterTests.cpp:67-78)."""
+
+    def test_roundtrip(self, tmp_path):
+        import numpy as np
+
+        from biobloom_spark.sketch import BloomSketch
+        from biobloom_spark.sources.bf_format import read_bf, write_bf
+
+        sk = BloomSketch.for_capacity(10_000, 0.0078125, block_bits=0)
+        rng = np.random.default_rng(3)
+        sk.update_batch(rng.integers(0, 2**63, 10_000).astype(np.uint64))
+        prefix = str(tmp_path / "en")
+        bf_path, txt_path = write_bf(
+            prefix, sk.serialize(), filter_id="en", kmer_size=3,
+            desired_fpr=0.0078125, num_hashes=sk.num_hashes,
+            expected_entries=10_000, num_entries=sk.n_new,
+            approx_fpr=sk.approx_fpr(), redundant_sequences=sk.n_redundant,
+            redundant_fpr=0.001, sources=["web.parquet"],
+        )
+        import os
+
+        # .bf file size == 64-rounded bit array bytes (BloomFilterTests.cpp:67-78)
+        assert os.path.getsize(bf_path) == sk.m_bits // 8
+        back, info = read_bf(prefix)
+        assert back.serialize() == sk.serialize()
+        assert info["filter_id"] == "en" and info["num_hashes"] == sk.num_hashes
+        assert info["num_entries"] == sk.n_new
+        # probes agree bit-exactly after the round trip
+        probe = rng.integers(0, 2**63, 5000).astype(np.uint64)
+        assert np.array_equal(back.contains_batch(probe), sk.contains_batch(probe))
+
+    def test_size_mismatch_rejected(self, tmp_path):
+        import pytest as _pytest
+
+        from biobloom_spark.sources.bf_format import read_bf, write_bf
+
+        prefix = str(tmp_path / "bad")
+        write_bf(prefix, b"\0" * 16, filter_id="bad", kmer_size=3,
+                 desired_fpr=0.01, num_hashes=3, expected_entries=1,
+                 num_entries=1, approx_fpr=0.01)
+        with open(prefix + ".bf", "ab") as f:
+            f.write(b"\0" * 8)  # corrupt: one extra word
+        with _pytest.raises(ValueError):
+            read_bf(prefix)
+
+    def test_registry_row_export_import(self, spark, tmp_path):
+        from biobloom_spark.config import BloomParams, BuildConfig
+        from biobloom_spark.operators.maker import build_filters
+        from biobloom_spark.sources.bf_format import bf_to_registry_row, registry_row_to_bf
+
+        docs = spark.createDataFrame(
+            [(f"d{i}", f"tok{i} tok{i+1} tok{i+2} tok{i+3}", "en") for i in range(50)],
+            "doc_id string, text string, lang string",
+        )
+        reg = build_filters(
+            spark, docs, id_col="doc_id",
+            params=BloomParams(block_bits=0),  # classic layout = format parity
+            build=BuildConfig(num_buckets=1, merge_groups=1),
+        )
+        row = reg.collect()[0].asDict()
+        registry_row_to_bf(row, str(tmp_path))
+        back = bf_to_registry_row(str(tmp_path / row["filter_id"]))
+        assert back["bitmap"] == bytes(row["bitmap"])
+        assert back["m_bits"] == row["m_bits"]
+        # imported row classifies identically to the original registry row
+        from biobloom_spark.operators.categorizer import categorize
+
+        r1 = categorize(spark, docs, [back], id_col="doc_id").collect()
+        assert all(r["assigned"] == "en" for r in r1)

@@ -81,3 +81,15 @@ def test_bucketed_build_shuffles_corpus_once(spark, pq_corpus):
     # corpus-sized exchanges: the repartition before applyInPandas; the
     # partial/merge exchanges carry a handful of sketch rows each
     assert count_exchanges(reg) <= 3, count_exchanges(reg)
+
+
+def test_mibf_classify_plan_is_shuffle_free(spark, pq_corpus):
+    """MI classify is the same broadcast + one-map-pass shape as the plain
+    categorizer — the query corpus (the 100 TB side) never shuffles."""
+    from biobloom_spark.operators.mibf import build_mibf, classify_mibf
+
+    sk = build_mibf(spark, pq_corpus, key_col="lang", occupancy=0.1)
+    res = classify_mibf(spark, pq_corpus, sk, id_col="url")
+    assert_no_shuffle(res, "classify_mibf")
+    cols = scan_read_schema(res)
+    assert set(cols) == {"url", "text"}, cols

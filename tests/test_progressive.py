@@ -101,3 +101,36 @@ def test_progressive_bait_extends_matches(spark, genome_reads):
         .collect()
     }
     assert it1 and max(it1) >= 200  # bait reached the tail in one pass
+
+def test_incremental_equals_rebuild_from_scratch(spark, genome_reads):
+    """The incremental OR-merge (insert only newly matched docs per
+    iteration) must produce the exact bitmap of a from-scratch build over
+    seed ∪ tagged — Bloom insert is set-union idempotent, so the closures
+    coincide (U1 associativity end-to-end)."""
+    from biobloom_spark.operators.maker import build_filters, load_registry, size_filters
+
+    seeds, read_df = genome_reads
+    params = BloomParams()
+    filters, tagged = progressive_build(
+        spark, seeds, read_df.select("doc_id", "text"),
+        max_iterations=8, params=params,
+        build=BuildConfig(num_buckets=2, merge_groups=1),
+        scoring=ScoringConfig(method="simple", threshold=0.3),
+    )
+    closure = seeds.select("doc_id", "text").unionByName(
+        read_df.join(tagged.filter(F.col("iteration") > 0), on="doc_id")
+        .select("doc_id", "text")
+    )
+    # rebuild from scratch with the progressive run's pinned sizing
+    union_all = seeds.select("doc_id", "text").unionByName(
+        read_df.select("doc_id", "text")
+    ).withColumn("__fkey", F.lit("progressive"))
+    sizing = size_filters(union_all, "__fkey", "text", params)
+    reg = build_filters(
+        spark, closure.withColumn("__fkey", F.lit("progressive")),
+        key_col="__fkey", text_col="text", id_col="doc_id", params=params,
+        build=BuildConfig(num_buckets=2, merge_groups=1),
+        expected_sizing=sizing,
+    )
+    scratch = load_registry(reg)[0]
+    assert filters[0]["bitmap"] == scratch["bitmap"]

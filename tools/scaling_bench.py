@@ -109,16 +109,14 @@ def run_one(cores: int, reps: int) -> dict:
     wf = load_registry(wreg)
     summarize(categorize(spark, warm, wf, id_col="url"), [f["filter_id"] for f in wf]).collect()
     warm.unpersist()
-    # one untimed full-size pass: first-touch page faults on this VM are
-    # ~150 MB/s, so rep 0 of anything big measures memory warmup, not work
-    build_filters(
+    # ONE untimed full-size build (first-touch page faults on this VM are
+    # ~150 MB/s, so rep 0 of anything big measures memory warmup, not
+    # work); it doubles as the registry for the categorize phase
+    reg = build_filters(
         spark, docs, key_col="lang", text_col="text", id_col="url",
         build=BuildConfig(num_buckets=64, merge_groups=8),
-    ).write.format("noop").mode("overwrite").save()
-    summarize_fused(spark, docs, load_registry(build_filters(
-        spark, docs, key_col="lang", text_col="text", id_col="url",
-        build=BuildConfig(num_buckets=64, merge_groups=8),
-    )), id_col="url").collect()
+    )
+    filters = load_registry(reg)
 
     def sample(fn):
         out = []
@@ -137,15 +135,12 @@ def run_one(cores: int, reps: int) -> dict:
         ).write.format("noop").mode("overwrite").save()
 
     build_s = sample(do_build)
-    reg = build_filters(
-        spark, docs, key_col="lang", text_col="text", id_col="url",
-        build=BuildConfig(num_buckets=64, merge_groups=8),
-    )
-    filters = load_registry(reg)
 
     def do_cat():
         summarize_fused(spark, docs, filters, id_col="url").collect()
 
+    # the first fused categorize doubles as its own memory warmup: it scans
+    # the cached corpus the build just touched
     cat_s = sample(do_cat)
     spark.stop()
     return {"cores": cores, "n_docs": n, "build_s": round(build_s, 3), "categorize_s": round(cat_s, 3)}
