@@ -106,9 +106,16 @@ class BuildConfig:
     num_buckets: int = 32
     #: two-level merge fan-in (bucket partials → g groups → final)
     merge_groups: int = 8
+    #: segmented merge width (partition strategy, 64-bit blocked layout):
+    #: each filter's bitmap is built as S independent hash-prefix slices in
+    #: parallel — merge parallelism is filters x S instead of filters.
+    #: Power of two.  Raise at larger cluster/filter scale.
+    merge_segments: int = 16
     #: write per-bucket lineage rows for resume
     checkpoint: bool = True
 
     def __post_init__(self) -> None:
         if self.strategy not in ("auto", "partition", "bucketed"):
             raise ValueError(f"unknown build strategy {self.strategy!r}")
+        if self.merge_segments < 1 or self.merge_segments & (self.merge_segments - 1):
+            raise ValueError("merge_segments must be a power of two")

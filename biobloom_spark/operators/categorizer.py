@@ -54,6 +54,7 @@ def _make_sketches(filters: list[dict]) -> list[BloomSketch]:
         BloomSketch.deserialize(
             f["bitmap"], f["m_bits"], f["num_hashes"], copy=False,
             block_bits=f.get("block_bits", 0),
+            seg_offsets=f.get("seg_offsets"),
         )
         for f in filters
     ]

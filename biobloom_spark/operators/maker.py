@@ -6,31 +6,32 @@ pre-pass, then insert every k-mer of every reference sequence, then store
 bitmap + metadata.  Single machine, OpenMP threads over a serialized
 reader.
 
-Spark lifecycle here:
+Spark lifecycle here (partition strategy, the default):
 
-1. **Sizing pre-pass** — one JVM-side aggregation
-   ``groupBy(filter_key).agg(sum(n_frames), count(*))`` (calcExpectedEntries
-   analog, BloomFilterGenerator.h:108-141); driver computes (m, h) per key
-   from the published formulas (BloomFilterInfo.h:57-76).  Reads only
-   (key, text-length) — column pruning reaches the scan.
-2. **Partial build** — docs are salted into ``num_buckets`` buckets by
-   ``pmod(xxhash64(url), B)`` so a skewed key (english ≫ everything, the
-   domain/language power law) spreads over B independent groups;
-   ``groupBy(key, bucket).applyInPandas`` builds one partial sketch per
-   group in a single Arrow pass (Bloom + HLL + CMS + t-digest + KLL
-   simultaneously).  This is the map-side-combine shape: the shuffle moves
-   *documents once*; all sketch state after that is tiny.
-3. **Two-level merge** — bucket partials OR-merge per (key, bucket % G)
-   group, then per key (merge fan-in bounded → no single-reducer hotspot at
-   large B).  OR is associative/commutative/idempotent, so retries and
-   re-orderings are safe.
-4. **Registry write** — one row per filter (bitmap + metadata;
-   storeFilter/printInfoFile analog, BloomFilterGenerator.cpp:71,
-   BloomFilterInfo.cpp:81-116) plus per-bucket lineage rows; a killed job
-   resumes from completed buckets (SURVEY.md §7.3).
+1. **Sparse partial pass** — ONE zero-shuffle ``mapInPandas`` over the
+   corpus: each task shingles its own documents and emits, per filter key,
+   its unique frame hashes split into S hash-prefix slices (plus a
+   companion row with counters and the HLL/CMS/t-digest/KLL sketches).
+   No sizing pre-scan: the reference's calcExpectedEntries counts every
+   k-mer occurrence (BloomFilterGenerator.h:108-141) and that exact count
+   rides along per slice, so sizing happens where the data already is.
+2. **Segmented merge** — one reducer per (key, slice): sorted-set union of
+   the slice's hash blobs, slice bitmap sized from the slice's own insert
+   total (published formulas, BloomFilterInfo.h:57-76), sequential
+   fastrange + reduceat-OR scatter.  Merge parallelism is keys × S; no
+   single-reducer 10^7-hash sort/scatter hotspot.
+3. **Assembly** — one row per filter: memcpy the S slices into the final
+   bitmap, compute registry stats, attach the slice word-offset table
+   (storeFilter/printInfoFile analog, BloomFilterGenerator.cpp:71,
+   BloomFilterInfo.cpp:81-116); per-partition lineage rows make a killed
+   job resume from completed partitions (SURVEY.md §7.3).
 
-At 100 TB: stage 2's shuffle is the only full-data movement; partial state
-is ``keys × B`` bitmaps (MBs), so the merge stages are metadata-sized.
+The bucketed strategy (huge/high-cardinality filter sets) keeps the
+salted-shuffle shape: docs shuffle once to (key, bucket) groups, dense
+partials two-level-merge per key.
+
+At 100 TB: the corpus is read once and never shuffled (partition
+strategy); everything that moves is sketch-sized.
 """
 
 from __future__ import annotations
@@ -124,6 +125,39 @@ def size_filters(
     return out
 
 
+def _estimate_total_bits(docs: DataFrame, params: BloomParams) -> int | None:
+    """Metadata-only total-bitmap-size estimate for the auto strategy pick
+    — the analog of the reference sizing filters from input *file sizes*
+    (-n / calcExpectedEntries over file length, BloomFilterGenerator.h:
+    108-141) rather than a corpus scan.  Returns None when the input has
+    no file listing (in-memory DataFrames) — callers treat that as small.
+
+    Σ_k m_k ≈ bits_per_entry × Σ_k n_k is key-count-independent, so one
+    aggregate estimate suffices: entries ≈ compressed bytes / ~3 (web text
+    in parquet+snappy runs ~3-6 bytes per token; underestimating
+    bytes/token overestimates entries, which only flips to the bucketed
+    strategy early — the safe direction).
+    """
+    try:
+        files = docs.inputFiles()
+    except Exception:  # pragma: no cover - exotic sources
+        return None
+    if not files:
+        return None
+    total = 0
+    for uri in files:
+        path = uri[5:] if uri.startswith("file:") else uri
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return None
+    entries = max(1, total // 3)
+    h, bb = resolve_block_layout(params.fpr, params.num_hashes, params.block_bits)
+    if bb:
+        return blocked_size_bits(entries, params.fpr, h, bb)
+    return optimal_size_bits(entries, params.fpr, h)
+
+
 def _pack_dense(raw: bytes) -> bytes:
     """Dense bitmap payload: zlib only when it actually pays (low-occupancy
     bitmaps shrink 10-50x; half-full ones barely shrink and the deflate
@@ -173,8 +207,10 @@ def _build_partial_fn(sizing: dict, params: BloomParams, text_col: str, key_col:
         kll = KLLSketch()
         sub = None
         if subtract_bits is not None:
-            sm, sh_, sb = subtract_meta
-            sub = BloomSketch.deserialize(subtract_bits, sm, sh_, block_bits=sb)
+            sm, sh_, sb, sseg = subtract_meta
+            sub = BloomSketch.deserialize(
+                subtract_bits, sm, sh_, block_bits=sb, seg_offsets=sseg
+            )
         frames, _offs, tok_hashes, tok_counts = batch_doc_shingles(
             pdf[text_col].to_numpy(), w
         )
@@ -190,6 +226,7 @@ def _build_partial_fn(sizing: dict, params: BloomParams, text_col: str, key_col:
             {
                 "filter_id": [filter_id],
                 "bucket": [bucket],
+                "seg": [-1],
                 "n_docs": [len(pdf)],
                 "n_inserted": [bloom.n_inserted],
                 "n_new": [bloom.n_new],
@@ -203,14 +240,57 @@ def _build_partial_fn(sizing: dict, params: BloomParams, text_col: str, key_col:
                 "tdigest": [td.serialize()],
                 "kll": [kll.serialize()],
             }
-        )
+        )[[f.name for f in PARTIAL_SCHEMA.fields]]
 
     return fn
 
 
-def _build_partition_fn(sizing: dict, params: BloomParams, text_col: str, key_col: str,
-                        subtract_bits: bytes | None, subtract_meta: tuple | None):
-    """mapInPandas kernel: one *input partition* → one partial row per key.
+_PARTIAL_COLS = [
+    "filter_id", "bucket", "seg", "n_docs", "n_inserted", "n_new",
+    "n_redundant", "bitmap", "hll", "cms", "tdigest", "kll",
+]
+
+
+def _seg_layout(params: BloomParams, build: BuildConfig) -> tuple[int, int, int]:
+    """(num_hashes, block_bits, S) for the partition-strategy build.
+    Hash-prefix segmentation requires the single-word layout (an item's
+    whole footprint lives in the word picked by its hash); other layouts
+    run with S=1 (one slice = the whole bitmap)."""
+    h, bb = resolve_block_layout(params.fpr, params.num_hashes, params.block_bits)
+    S = build.merge_segments if bb == 64 else 1
+    return h, bb, S
+
+
+def _pinned_seg_words(meta: dict, S: int) -> np.ndarray:
+    """Equal-split per-segment word counts for an externally pinned m
+    (progressive mode rebuilds into a FIXED layout across iterations so
+    incremental OR-merge stays bitmap-compatible).  Deterministic; every
+    segment gets >= 1 word (a zero-width segment would alias its probes
+    onto its neighbour's words)."""
+    total_words = meta["m_bits"] // 64
+    base, rem = divmod(total_words, S)
+    return np.asarray(
+        [max(1, base + (1 if s < rem else 0)) for s in range(S)], dtype=np.int64
+    )
+
+
+def _seg_slice_bits(n_ins_seg: int, params: BloomParams, h: int, bb: int, S: int) -> int:
+    """Sizing for ONE hash-prefix slice from that slice's own (exact,
+    duplicate-counting) insert total — the same published formulas as the
+    global sizing (BloomFilterInfo.h:57-76), applied per slice.  Hash
+    prefixes are uniform, so slices self-balance; the FPR target holds per
+    slice and therefore globally."""
+    cap = max(64, ((params.max_bits // S) // 64) * 64)
+    if bb:
+        return min(blocked_size_bits(n_ins_seg, params.fpr, h, bb), cap)
+    return min(optimal_size_bits(n_ins_seg, params.fpr, h), cap)
+
+
+def _build_partition_fn(params: BloomParams, build: BuildConfig, text_col: str,
+                        key_col: str, subtract_bits: bytes | None,
+                        subtract_meta: tuple | None):
+    """mapInPandas kernel: one *input partition* → S sparse slice rows +
+    one companion row per key.
 
     The zero-shuffle build strategy: every task accumulates state for
     every filter key over the documents it already holds (like the
@@ -219,33 +299,42 @@ def _build_partition_fn(sizing: dict, params: BloomParams, text_col: str, key_co
     BloomFilterGenerator.h:156-183).  The corpus never moves; only
     sketch-sized partials do.
 
-    The Bloom partial is emitted in whichever representation is smaller
-    (tag byte + zlib payload):
-    - ``b"H"`` sparse: the task's *unique frame hashes* — no dense bitmap
-      is ever allocated in build tasks, so no 100s-of-MB page-fault /
-      scatter-write storms (measured: dense-per-task made 16 cores
-      *slower* than 4); the dense insert happens once per merge group.
-    - ``b"D"`` dense: the classic bitmap, when the task's hash set would
-      be larger (huge partitions).
+    Emitted per key:
+    - S slice rows (``seg`` 0..S-1): the partition's *unique frame hashes*
+      whose top log2(S) bits equal ``seg`` (raw, tag ``b"R"`` — uniform
+      64-bit hashes are incompressible; zlib measured 6% shrink for ~0.5 s
+      per task), plus that slice's pre-dedup frame count (its sizing
+      input).  No dense bitmap is ever allocated map-side — no
+      100s-of-MB page-fault/scatter storms (measured: dense-per-task made
+      16 cores *slower* than 4).
+    - one companion row (``seg`` -1): doc/frame counters + the HLL / CMS /
+      t-digest / KLL sketches.
+
+    No sizing pre-pass feeds this kernel: slice reducers size themselves
+    from the exact per-slice counts they receive (the separate corpus
+    scan the old flow spent 20-30% of build wall-time on is gone).
     """
     from pyspark import TaskContext
 
     w = params.shingle_w
+    h, bb, S = _seg_layout(params, build)
+    k = S.bit_length() - 1
+    shift = np.uint64(64 - k) if k else None
 
     def fn(batches):
         sub = None
         if subtract_bits is not None:
-            sm, sh_, sb = subtract_meta
-            sub = BloomSketch.deserialize(subtract_bits, sm, sh_, block_bits=sb)
+            sm, sh_, sb, sseg = subtract_meta
+            sub = BloomSketch.deserialize(
+                subtract_bits, sm, sh_, block_bits=sb, seg_offsets=sseg
+            )
         hashes_acc: dict[str, list] = {}
         state: dict[str, tuple] = {}
         n_docs: dict[str, int] = {}
-        n_frames_tot: dict[str, int] = {}
+        seg_counts: dict[str, np.ndarray] = {}
         for pdf in batches:
             for fid, grp in pdf.groupby(key_col):
                 fid = str(fid)
-                if fid not in sizing:
-                    continue
                 if fid not in state:
                     state[fid] = (
                         HLLSketch(p=_HLL_P),
@@ -255,14 +344,19 @@ def _build_partition_fn(sizing: dict, params: BloomParams, text_col: str, key_co
                     )
                     hashes_acc[fid] = []
                     n_docs[fid] = 0
-                    n_frames_tot[fid] = 0
+                    seg_counts[fid] = np.zeros(S, dtype=np.int64)
                 hll, cms, td, kll = state[fid]
                 frames, _offs, tok_hashes, tok_counts = batch_doc_shingles(
                     grp[text_col].to_numpy(), w
                 )
                 if sub is not None and frames.size:
                     frames = frames[~sub.contains_batch(frames)]
-                n_frames_tot[fid] += int(frames.size)
+                if k:
+                    seg_counts[fid] += np.bincount(
+                        (frames >> shift).astype(np.int64), minlength=S
+                    )
+                else:
+                    seg_counts[fid][0] += int(frames.size)
                 hashes_acc[fid].append(np.unique(frames))
                 hll.update_batch(frames)
                 cms.update_batch(tok_hashes)
@@ -277,44 +371,167 @@ def _build_partition_fn(sizing: dict, params: BloomParams, text_col: str, key_co
         rows = []
         for fid, (hll, cms, td, kll) in state.items():
             uniq = np.unique(np.concatenate(hashes_acc[fid]))
-            meta = sizing[fid]
-            n_new = int(uniq.size)
-            n_ins = n_frames_tot[fid]
-            if uniq.nbytes < meta["m_bits"] // 8:
-                # raw sparse: uniform-random 64-bit hashes are
-                # incompressible (zlib-1 measured 6% shrink for ~0.5 s per
-                # map task) — tag "R", no compression
-                payload = b"R" + uniq.tobytes()
+            counts = seg_counts[fid]
+            if k:
+                edges = np.arange(1, S, dtype=np.uint64) << shift
+                bounds = np.concatenate(([0], np.searchsorted(uniq, edges), [uniq.size]))
             else:
-                bloom = BloomSketch(
-                    m_bits=meta["m_bits"],
-                    num_hashes=meta["num_hashes"],
-                    block_bits=meta.get("block_bits", params.block_bits),
-                )
-                bloom.update_batch(uniq, assume_unique=True)
-                payload = _pack_dense(bloom.serialize())
-            rows.append(
-                (
-                    fid,
-                    bucket,
-                    n_docs[fid],
-                    n_ins,
-                    n_new,
-                    n_ins - n_new,
-                    payload,
-                    hll.serialize(),
-                    cms.serialize(),
-                    td.serialize(),
-                    kll.serialize(),
-                )
+                bounds = np.asarray([0, uniq.size])
+            for s in range(S):
+                lo, hi = int(bounds[s]), int(bounds[s + 1])
+                if hi == lo and counts[s] == 0:
+                    continue
+                rows.append((
+                    fid, bucket, s, 0, int(counts[s]), 0, 0,
+                    b"R" + uniq[lo:hi].tobytes(), None, None, None, None,
+                ))
+            rows.append((
+                fid, bucket, -1, n_docs[fid], int(counts.sum()), 0, 0, b"C",
+                hll.serialize(), cms.serialize(), td.serialize(), kll.serialize(),
+            ))
+        yield pd.DataFrame(rows, columns=_PARTIAL_COLS)
+
+    return fn
+
+
+def _seg_reduce_fn(params: BloomParams, build: BuildConfig, pinned: dict | None,
+                   out_schema):
+    """applyInPandas kernel per (filter_id, seg) group.
+
+    ``seg >= 0``: union the group's sorted hash blobs, size the slice from
+    the group's exact insert total (or the pinned equal-split), scatter the
+    slice bitmap sequentially (monotone fastrange + reduceat-OR — see
+    sketch.bloom).  ``seg == -1``: merge the companion sketches.  All
+    groups run in parallel: merge parallelism is filters x S.
+    """
+    from ..sketch.bloom import or_scatter_sorted, probe_words64
+    from ..sketch.hashing import km_probe, mulhigh64
+
+    h, bb, S = _seg_layout(params, build)
+    k = S.bit_length() - 1
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        fid, seg = str(key[0]), int(key[1])
+        if seg == -1:
+            hll = HLLSketch(p=_HLL_P)
+            cms = CountMinSketch(width=_CMS_W, depth=_CMS_D)
+            td = TDigestSketch()
+            kll = KLLSketch()
+            n_docs = n_ins = 0
+            for _, row in pdf.iterrows():
+                n_docs += int(row["n_docs"])
+                n_ins += int(row["n_inserted"])
+                if row["hll"] is not None:
+                    hll = hll.merge(HLLSketch.deserialize(bytes(row["hll"]), p=_HLL_P))
+                if row["cms"] is not None:
+                    cms = cms.merge(CountMinSketch.deserialize(bytes(row["cms"]), _CMS_W, _CMS_D))
+                if row["tdigest"] is not None:
+                    td = td.merge(TDigestSketch.deserialize(bytes(row["tdigest"])))
+                if row["kll"] is not None:
+                    kll = kll.merge(KLLSketch.deserialize(bytes(row["kll"])))
+            return pd.DataFrame(
+                [(fid, 0, -1, n_docs, n_ins, 0, 0, b"C",
+                  hll.serialize(), cms.serialize(), td.serialize(), kll.serialize())],
+                columns=_PARTIAL_COLS,
             )
-        yield pd.DataFrame(
-            rows,
-            columns=[
-                "filter_id", "bucket", "n_docs", "n_inserted", "n_new",
-                "n_redundant", "bitmap", "hll", "cms", "tdigest", "kll",
-            ],
+        n_ins_seg = int(pdf["n_inserted"].sum())
+        parts = [
+            np.frombuffer(bytes(p)[1:], dtype=np.uint64) for p in pdf["bitmap"]
+        ]
+        uniq = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+        if pinned is not None:
+            m_seg = int(_pinned_seg_words(pinned[fid], S)[seg]) * 64
+        else:
+            m_seg = _seg_slice_bits(n_ins_seg, params, h, bb, S)
+        if bb == 64:
+            words = np.zeros(m_seg // 64, dtype=np.uint64)
+            if uniq.size:
+                h1, h2 = km_probe(uniq)
+                local = mulhigh64(h1 << np.uint64(k) if k else h1,
+                                  np.uint64(words.size)).astype(np.int64)
+                or_scatter_sorted(words, local, probe_words64(h2, h))
+            payload = b"S" + words.tobytes()
+        else:
+            sk = BloomSketch(m_bits=m_seg, num_hashes=h, block_bits=bb)
+            if uniq.size:
+                sk.update_batch(uniq, assume_unique=True)
+            payload = b"S" + sk.serialize()
+        return pd.DataFrame(
+            [(fid, 0, seg, 0, n_ins_seg, int(uniq.size),
+              n_ins_seg - int(uniq.size), payload, None, None, None, None)],
+            columns=_PARTIAL_COLS,
         )
+
+    return fn
+
+
+def _assemble_fn(params: BloomParams, build: BuildConfig, pinned: dict | None):
+    """applyInPandas kernel per filter: order the S slice bitmaps, memcpy
+    them into the final bitmap, compute registry stats, attach the word
+    offsets.  Pure assembly — the heavy lifting happened in parallel in
+    the slice reducers."""
+    h, bb, S = _seg_layout(params, build)
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        fid = str(key[0])
+        comp = pdf[pdf["seg"] == -1].iloc[0]
+        slices = {int(r["seg"]): r for _, r in pdf[pdf["seg"] >= 0].iterrows()}
+        payloads, n_new = [], 0
+        if pinned is not None:
+            seg_words = _pinned_seg_words(pinned[fid], S)
+        for s in range(S):
+            row = slices.get(s)
+            if row is not None:
+                payloads.append(bytes(row["bitmap"])[1:])
+                n_new += int(row["n_new"])
+            elif pinned is not None:
+                payloads.append(b"\0" * (int(seg_words[s]) * 8))
+            else:
+                payloads.append(b"\0" * (_seg_slice_bits(0, params, h, bb, S) // 8))
+        word_counts = np.asarray([len(p) // 8 for p in payloads], dtype=np.int64)
+        offsets = np.concatenate(([0], np.cumsum(word_counts)))
+        bitmap = b"".join(payloads)
+        m_bits = int(offsets[-1]) * 64
+        n_docs, n_ins = int(comp["n_docs"]), int(comp["n_inserted"])
+        seg_off = offsets if (bb == 64 and S > 1) else None
+        sk = BloomSketch(
+            m_bits=m_bits, num_hashes=h,
+            bits=np.frombuffer(bitmap, dtype=np.uint8),
+            block_bits=bb, seg_offsets=seg_off,
+        )
+        hll = (
+            HLLSketch.deserialize(bytes(comp["hll"]), p=_HLL_P)
+            if comp["hll"] is not None
+            else HLLSketch(p=_HLL_P)
+        )
+        expected = pinned[fid]["expected_entries"] if pinned is not None else n_ins
+        return pd.DataFrame(
+            {
+                "filter_id": [fid],
+                "m_bits": [m_bits],
+                "num_hashes": [h],
+                "block_bits": [bb],
+                "shingle_w": [params.shingle_w],
+                "target_fpr": [params.fpr],
+                "expected_entries": [int(expected)],
+                "n_docs": [n_docs],
+                "n_inserted": [n_ins],
+                # slices partition the hash space → Σ per-slice distinct is
+                # the EXACT distinct count (improves on the reference's
+                # scan-order counter, SURVEY §7.4)
+                "num_entries": [n_new],
+                "redundant_entries": [n_ins - n_new],
+                "approx_fpr": [approx_fpr(m_bits, n_new, h)],
+                "occupancy_fpr": [sk.fpr_from_occupancy()],
+                "distinct_frames_hll": [hll.estimate()],
+                "seg_offsets": [offsets.tobytes() if seg_off is not None else None],
+                "bitmap": [bitmap],
+                "hll": [comp["hll"]],
+                "cms": [comp["cms"]],
+                "tdigest": [comp["tdigest"]],
+                "kll": [comp["kll"]],
+            }
+        )[[f.name for f in REGISTRY_SCHEMA.fields]]
 
     return fn
 
@@ -400,6 +617,7 @@ def _merge_partials_fn(sizing: dict, out_schema, final: bool, params: BloomParam
                 {
                     **common,
                     "bucket": [int(key[1])],
+                    "seg": [-1],
                     "n_new": [n_new_out],
                     "n_redundant": [n_red_out],
                 }
@@ -423,6 +641,7 @@ def _merge_partials_fn(sizing: dict, out_schema, final: bool, params: BloomParam
                 "approx_fpr": [approx_fpr(m, num_entries, h)],
                 "occupancy_fpr": [bloom.fpr_from_occupancy()],
                 "distinct_frames_hll": [hll.estimate()],
+                "seg_offsets": [None],
             }
         )[[f.name for f in REGISTRY_SCHEMA.fields]]
 
@@ -466,30 +685,51 @@ def build_filters(
 
     # expected_sizing pins (m, h) externally — the progressive mode re-builds
     # into a fixed-size bitmap across iterations so merges stay compatible
-    sizing = expected_sizing or size_filters(docs, key_col, text_col, params)
-    if not sizing:
-        return spark.createDataFrame([], REGISTRY_SCHEMA)
+    pinned = expected_sizing
 
     sub_bits, sub_meta = (
-        (subtract[0], (subtract[1], subtract[2], subtract[3] if len(subtract) > 3 else 0))
+        (
+            subtract[0],
+            (
+                subtract[1],
+                subtract[2],
+                subtract[3] if len(subtract) > 3 else 0,
+                subtract[4] if len(subtract) > 4 else None,  # seg_offsets
+            ),
+        )
         if subtract
         else (None, None)
     )
 
     # --- stage 2: partial build ------------------------------------------
     # Strategy pick (BuildConfig.strategy):
-    #  * "partition" (zero-shuffle): every task builds partials for every key
-    #    over the documents it already holds — corpus never moves, no skew
-    #    concern, memory/task = sum of all bitmaps.  The default while that
-    #    sum fits the task budget (same budget the categorizer broadcast
-    #    needs anyway).
+    #  * "partition" (zero-shuffle, default): every task accumulates sparse
+    #    hash partials for every key over the documents it already holds —
+    #    corpus never moves, no skew concern, no sizing pre-scan (slices
+    #    self-size at reduce time from exact counts).
     #  * "bucketed" (salted shuffle): high-cardinality/huge filter sets —
     #    docs shuffle to (key, salt-bucket) groups so each task holds ONE
-    #    bitmap; salting defuses zipf-skewed keys.
+    #    bitmap; salting defuses zipf-skewed keys.  Needs the sizing
+    #    pre-pass (dense partials require m upfront).
+    # "auto" picks by estimated total bitmap size: from the pinned sizing
+    # when given, else a metadata-only file-size estimate (the reference's
+    # own -n/file-size sizing estimate, BloomFilterGenerator.h:108-141 /
+    # Options -n) — never a corpus scan.
     strategy = build.strategy
     if strategy == "auto":
-        total_bits = sum(meta["m_bits"] for meta in sizing.values())
-        strategy = "partition" if total_bits <= build.partition_strategy_max_bits else "bucketed"
+        if pinned is not None:
+            total_bits = sum(meta["m_bits"] for meta in pinned.values())
+        else:
+            total_bits = _estimate_total_bits(docs, params)
+        strategy = (
+            "partition"
+            if total_bits is None or total_bits <= build.partition_strategy_max_bits
+            else "bucketed"
+        )
+    if strategy == "bucketed":
+        sizing = pinned or size_filters(docs, key_col, text_col, params)
+        if not sizing:
+            return spark.createDataFrame([], REGISTRY_SCHEMA)
 
     # resume is only safe against the SAME input snapshot: partition ids /
     # doc membership shift when the file listing changes, silently dropping
@@ -521,7 +761,7 @@ def build_filters(
                 lambda pid, it: iter([]) if pid in set(done_buckets) else it,
                 preservesPartitioning=True,
             ).toDF(base.schema)
-        part_fn = _build_partition_fn(sizing, params, text_col, "filter_id", sub_bits, sub_meta)
+        part_fn = _build_partition_fn(params, build, text_col, "filter_id", sub_bits, sub_meta)
         new_partials = todo.mapInPandas(part_fn, schema=PARTIAL_SCHEMA)
     else:
         bucketed = docs.select(
@@ -550,7 +790,9 @@ def build_filters(
         if snap_fp is not None:
             _write_snapshot(partials_path, snap_fp)
         partials = spark.read.parquet(partials_path)
-        lineage = partials.select(
+        # one lineage row per (filter, source partition): the companion
+        # rows carry the per-partition counters exactly once
+        lineage = partials.filter(F.col("seg") == -1).select(
             F.lit(job_id).alias("job_id"),
             F.lit("partial_build").alias("stage"),
             "filter_id",
@@ -564,27 +806,35 @@ def build_filters(
         partials = new_partials
 
     # --- stage 3: merge ---------------------------------------------------
-    # level-1 exists to bound the final merge's fan-in (no single-reducer
-    # hotspot at thousands of buckets).  With few partials per filter it is
-    # pure overhead — an extra decompress/re-pack round over ~all the
-    # partial bytes — so it only runs when the (statically known) partial
-    # count is large; the threshold keeps final fan-in <= ~32.
-    g = max(1, build.merge_groups)
     if strategy == "partition":
-        n_partials = todo.rdd.getNumPartitions()
-    else:
-        n_partials = build.num_buckets
-    if partials_path is None and n_partials <= max(32, 2 * g):
-        merge_in = partials
-    else:
-        merge_in = (
-            partials.withColumn("bucket", F.pmod(F.col("bucket"), F.lit(g)).cast("int"))
-            .groupBy("filter_id", "bucket")
-            .applyInPandas(_merge_partials_fn(sizing, PARTIAL_SCHEMA, False, params), schema=PARTIAL_SCHEMA)
+        # segmented merge: one reducer per (filter, hash-prefix slice) —
+        # merge parallelism is filters x S, each task a small sorted-set
+        # union + one sequential slice scatter; the per-filter assembly is
+        # memcpy + stats.  The old shape (one reducer per filter doing a
+        # 10^7-hash sort + random scatter) was the build's non-scaling
+        # bottleneck (BENCH.md round-2 profile).
+        reduced = partials.groupBy("filter_id", "seg").applyInPandas(
+            _seg_reduce_fn(params, build, pinned, PARTIAL_SCHEMA), schema=PARTIAL_SCHEMA
         )
-    registry = merge_in.groupBy("filter_id").applyInPandas(
-        _merge_partials_fn(sizing, REGISTRY_SCHEMA, True, params), schema=REGISTRY_SCHEMA
-    )
+        registry = reduced.groupBy("filter_id").applyInPandas(
+            _assemble_fn(params, build, pinned), schema=REGISTRY_SCHEMA
+        )
+    else:
+        # bucketed: two-level merge.  Level 1 bounds the final fan-in (no
+        # single-reducer hotspot at large bucket counts); skipped when the
+        # partial count is already small.
+        g = max(1, build.merge_groups)
+        if partials_path is None and build.num_buckets <= max(32, 2 * g):
+            merge_in = partials
+        else:
+            merge_in = (
+                partials.withColumn("bucket", F.pmod(F.col("bucket"), F.lit(g)).cast("int"))
+                .groupBy("filter_id", "bucket")
+                .applyInPandas(_merge_partials_fn(sizing, PARTIAL_SCHEMA, False, params), schema=PARTIAL_SCHEMA)
+            )
+        registry = merge_in.groupBy("filter_id").applyInPandas(
+            _merge_partials_fn(sizing, REGISTRY_SCHEMA, True, params), schema=REGISTRY_SCHEMA
+        )
 
     if registry_path:
         registry.write.mode("overwrite").parquet(registry_path)
@@ -604,6 +854,7 @@ def load_registry(registry_df: DataFrame, order: Iterable[str] | None = None) ->
     out = []
     for fid in ids:
         r = rows[fid]
+        so = r.get("seg_offsets")
         out.append(
             {
                 "filter_id": fid,
@@ -612,6 +863,9 @@ def load_registry(registry_df: DataFrame, order: Iterable[str] | None = None) ->
                 "block_bits": int(r.get("block_bits", 0)),
                 "shingle_w": int(r["shingle_w"]),
                 "bitmap": bytes(r["bitmap"]),
+                "seg_offsets": (
+                    np.frombuffer(bytes(so), dtype=np.int64) if so is not None else None
+                ),
                 # per-filter FPR used by the binomial kernel
                 "fpr": float(max(r["occupancy_fpr"], 1e-300)),
                 "target_fpr": float(r["target_fpr"]),

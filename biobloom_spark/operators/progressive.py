@@ -41,8 +41,8 @@ def progressive_build(
     build: BuildConfig | None = None,
     scoring: ScoringConfig | None = None,
     max_iterations: int = 5,
-    bait: "tuple[bytes, int, int, int] | None" = None,
-    subtract: "tuple[bytes, int, int, int] | None" = None,
+    bait: "tuple | None" = None,  # (bitmap, m_bits, num_hashes[, block_bits[, seg_offsets]])
+    subtract: "tuple | None" = None,  # same shape as bait
     inclusive_pairs: bool = False,
     text2_col: str | None = None,
 ) -> tuple[list[dict], DataFrame]:
@@ -114,6 +114,7 @@ def progressive_build(
     running = BloomSketch.deserialize(
         filters[0]["bitmap"], filters[0]["m_bits"], filters[0]["num_hashes"],
         block_bits=filters[0]["block_bits"],
+        seg_offsets=filters[0].get("seg_offsets"),
     )
 
     bait_filters = []
@@ -124,6 +125,7 @@ def progressive_build(
                 "m_bits": bait[1],
                 "num_hashes": bait[2],
                 "block_bits": bait[3] if len(bait) > 3 else 0,
+                "seg_offsets": bait[4] if len(bait) > 4 else None,
                 "shingle_w": params.shingle_w,
                 "bitmap": bait[0],
                 "fpr": 1e-12,
@@ -159,6 +161,7 @@ def progressive_build(
         delta = BloomSketch.deserialize(
             delta_filters[0]["bitmap"], running.m_bits, running.num_hashes,
             block_bits=running.block_bits,
+            seg_offsets=delta_filters[0].get("seg_offsets"),
         )
         running = running.merge(delta)
         filters = [

@@ -27,7 +27,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from .hashing import km_indices_iter, km_probe
+from .hashing import km_indices_iter, km_probe, mulhigh64
 
 _BIT_LUT = (np.uint8(1) << np.arange(8, dtype=np.uint8))  # bit masks by idx&7
 _POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
@@ -38,7 +38,64 @@ __all__ = [
     "blocked_size_bits",
     "approx_fpr",
     "BloomSketch",
+    "probe_words64",
+    "word_index64",
+    "or_scatter_sorted",
 ]
+
+
+def probe_words64(h2: np.ndarray, num_hashes: int) -> np.ndarray:
+    """Per-item 64-bit word with the h probe bits set (6-bit offsets sliced
+    from h2) — the whole membership footprint of the single-word layout in
+    one register.  Slices start at bit 4 (= 64 % 6): km_probe forces h2 odd,
+    so slicing from bit 0 would bias probe 0 to odd offsets.
+
+    Module-level (not a method) so the distributed segment builders in the
+    maker provably compute the identical footprint as query-time probes.
+    """
+    w = np.zeros(h2.size, dtype=np.uint64)
+    for i in range(num_hashes):
+        w |= np.uint64(1) << ((h2 >> np.uint64(6 * i + 4)) & np.uint64(63))
+    return w
+
+
+def word_index64(
+    h1: np.ndarray, n_words: int, seg_offsets: np.ndarray | None = None
+) -> np.ndarray:
+    """Word index for the 64-bit blocked layout: fastrange (``mulhigh``),
+    MONOTONE in h1 — sorted hashes → sorted indices (see mulhigh64).
+
+    Segmented variant (``seg_offsets``: int64[S+1] word offsets, S a power
+    of two): the top log2(S) bits of h1 pick the segment, the rest
+    fastrange into that segment's word range.  This is the layout the
+    distributed merge builds slice-by-slice: segment s of the bitmap is a
+    pure function of the hashes whose prefix is s, so S reducers build
+    S independent slices and the registry concatenates them.
+    """
+    if seg_offsets is None:
+        return mulhigh64(h1, np.uint64(n_words)).astype(np.int64)
+    S = len(seg_offsets) - 1
+    k = S.bit_length() - 1
+    if k == 0:
+        return mulhigh64(h1, np.uint64(n_words)).astype(np.int64)
+    seg = (h1 >> np.uint64(64 - k)).astype(np.int64)
+    nw = np.diff(seg_offsets)[seg].astype(np.uint64)
+    local = mulhigh64(h1 << np.uint64(k), nw).astype(np.int64)
+    return seg_offsets[seg] + local
+
+
+def or_scatter_sorted(words: np.ndarray, widx: np.ndarray, pw: np.ndarray) -> None:
+    """OR probe-words into ``words`` at (sorted, possibly repeated) indices.
+
+    Groups equal indices with one ``bitwise_or.reduceat`` then writes each
+    target word once — sequential memory order, no unbuffered per-element
+    ``np.bitwise_or.at`` (which measured ~5 s per 1.5e7 items)."""
+    if widx.size == 0:
+        return
+    starts = np.flatnonzero(np.concatenate(([True], widx[1:] != widx[:-1])))
+    ored = np.bitwise_or.reduceat(pw, starts)
+    tgt = widx[starts]
+    words[tgt] |= ored
 
 
 def optimal_hash_num(fpr: float) -> int:
@@ -123,6 +180,12 @@ def approx_fpr(m_bits: int, n_entries: int, num_hashes: int) -> float:
 class BloomSketch:
     """Fixed-parameter Bloom filter with batch insert/contains and OR-merge.
 
+    Key contract: inputs are *avalanched uniform 64-bit hashes* (every
+    engine path feeds splitmix64 output — sketch.hashing).  The 64-bit
+    blocked layout selects its word by fastrange on the HIGH bits
+    (word_index64), so low-entropy raw integers would skew the load; hash
+    first (as all callers do).
+
     Layouts (same serialization, merge, and counter semantics):
     - ``block_bits=0``  classic: h independent positions over the whole
       array (the reference's semantics).
@@ -143,10 +206,23 @@ class BloomSketch:
     n_new: int = 0  # insertAndCheck "was absent" count → totalEntries
     n_redundant: int = 0  # insertAndCheck "already present" → redundancy
     block_bits: int = 0  # 0 = classic; 512 = cache-line blocked
+    #: segmented 64-bit layout: int64[S+1] word offsets (S a power of two);
+    #: segment s (top log2 S bits of h1) owns words [off[s], off[s+1]).
+    #: None = single range.  Produced by the distributed segmented merge.
+    seg_offsets: np.ndarray | None = None
 
     def __post_init__(self) -> None:
         if self.m_bits % 64:
             raise ValueError("m_bits must be a multiple of 64")
+        if self.seg_offsets is not None:
+            if self.block_bits != 64:
+                raise ValueError("seg_offsets requires the 64-bit word layout")
+            self.seg_offsets = np.asarray(self.seg_offsets, dtype=np.int64)
+            S = len(self.seg_offsets) - 1
+            if S < 1 or S & (S - 1):
+                raise ValueError("segment count must be a power of two")
+            if self.seg_offsets[0] != 0 or self.seg_offsets[-1] != self.m_bits // 64:
+                raise ValueError("seg_offsets must span [0, m_bits/64]")
         if self.block_bits:
             if self.block_bits & (self.block_bits - 1):
                 raise ValueError("block_bits must be a power of two")
@@ -183,18 +259,9 @@ class BloomSketch:
             return self.bits.view(np.uint64)
 
     def _probe_words(self, h2: np.ndarray) -> np.ndarray:
-        """Per-item 64-bit word with the h probe bits set (6-bit offsets
-        sliced from h2) — the whole membership test in one register.
-
-        Slices start at bit 4 (= 64 % 6): km_probe forces h2 odd for the
-        classic-layout stride, so bit 0 is constant — slicing from it
-        biased probe 0 to odd offsets (halving its entropy and skewing the
-        measured FPR ~10% above the per-block occupancy estimate).
-        """
-        w = np.zeros(h2.size, dtype=np.uint64)
-        for i in range(self.num_hashes):
-            w |= np.uint64(1) << ((h2 >> np.uint64(6 * i + 4)) & np.uint64(63))
-        return w
+        """See module-level ``probe_words64`` (kept as a method alias so all
+        call sites share one implementation)."""
+        return probe_words64(h2, self.num_hashes)
 
     def _blocked_positions(self, h1: np.ndarray, h2: np.ndarray):
         """Yield bit positions (int64) per hash fn, all within h1's block.
@@ -235,10 +302,17 @@ class BloomSketch:
         h1, h2 = km_probe(uniq)
         if self.block_bits == 64:
             words = self._words()
-            widx = (h1 % np.uint64(words.size)).astype(np.int64)
+            widx = word_index64(h1, words.size, self.seg_offsets)
             pw = self._probe_words(h2)
             present = (words[widx] & pw) == pw
-            np.bitwise_or.at(words, widx, pw)  # one scatter per item
+            # np.unique output is sorted and fastrange is monotone, so the
+            # sorted-scatter fast path applies on every dedup'd batch; the
+            # .at fallback only fires for explicitly unsorted assume_unique
+            # input
+            if widx.size < 2 or bool((widx[1:] >= widx[:-1]).all()):
+                or_scatter_sorted(words, widx, pw)
+            else:
+                np.bitwise_or.at(words, widx, pw)
         else:
             present = np.ones(uniq.size, dtype=bool)
             for idx in self._positions(h1, h2):
@@ -278,7 +352,7 @@ class BloomSketch:
         bits = self.bits
         if self.block_bits == 64:
             words = self._words()
-            widx = (h1 % np.uint64(words.size)).astype(np.int64)
+            widx = word_index64(h1, words.size, self.seg_offsets)
             got = words[widx]  # the only gather
             pw = self._probe_words(h2)
             return (got & pw) == pw
@@ -328,11 +402,15 @@ class BloomSketch:
         delta documented in SURVEY.md §7.4; pair with an HLL for exact-ish
         distinct counts. ``popcount``-derived stats stay exact.
         """
+        same_seg = (self.seg_offsets is None) == (other.seg_offsets is None) and (
+            self.seg_offsets is None
+            or np.array_equal(self.seg_offsets, other.seg_offsets)
+        )
         if (self.m_bits, self.num_hashes, self.block_bits) != (
             other.m_bits,
             other.num_hashes,
             other.block_bits,
-        ):
+        ) or not same_seg:
             raise ValueError("cannot merge Bloom sketches with different params")
         return BloomSketch(
             m_bits=self.m_bits,
@@ -342,6 +420,7 @@ class BloomSketch:
             n_new=self.n_new + other.n_new,
             n_redundant=self.n_redundant + other.n_redundant,
             block_bits=self.block_bits,
+            seg_offsets=self.seg_offsets,
         )
 
     # -- stats ------------------------------------------------------------

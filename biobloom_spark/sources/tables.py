@@ -52,6 +52,9 @@ REGISTRY_SCHEMA = T.StructType(
         T.StructField("approx_fpr", T.DoubleType(), False),
         T.StructField("occupancy_fpr", T.DoubleType(), False),
         T.StructField("distinct_frames_hll", T.DoubleType(), False),
+        # segmented 64-bit layout: int64[S+1] word offsets (little-endian
+        # bytes; NULL = unsegmented) — see sketch.bloom.word_index64
+        T.StructField("seg_offsets", T.BinaryType(), True),
         # the .bf payload + companion sketches
         T.StructField("bitmap", T.BinaryType(), False),
         T.StructField("hll", T.BinaryType(), True),
@@ -65,6 +68,9 @@ PARTIAL_SCHEMA = T.StructType(
     [
         T.StructField("filter_id", T.StringType(), False),
         T.StructField("bucket", T.IntegerType(), False),
+        # bitmap segment this row belongs to; -1 = companion row (counters
+        # + HLL/CMS/t-digest/KLL, no bloom payload)
+        T.StructField("seg", T.IntegerType(), False),
         T.StructField("n_docs", T.LongType(), False),
         T.StructField("n_inserted", T.LongType(), False),
         T.StructField("n_new", T.LongType(), False),

@@ -141,7 +141,8 @@ class TestMaker:
         reg_de_minus_en = load_registry(
             build_filters(
                 spark, corpus, id_col="url", keys=["de"],
-                subtract=(reg_en["bitmap"], reg_en["m_bits"], reg_en["num_hashes"], reg_en["block_bits"]),
+                subtract=(reg_en["bitmap"], reg_en["m_bits"], reg_en["num_hashes"],
+                          reg_en["block_bits"], reg_en["seg_offsets"]),
             )
         )[0]
         reg_de = load_registry(build_filters(spark, corpus, id_col="url", keys=["de"]))[0]

@@ -92,7 +92,8 @@ def test_progressive_bait_extends_matches(spark, genome_reads):
         max_iterations=1,
         build=BuildConfig(num_buckets=2, merge_groups=1),
         scoring=ScoringConfig(threshold=0.3),
-        bait=(bait_reg["bitmap"], bait_reg["m_bits"], bait_reg["num_hashes"], bait_reg["block_bits"]),
+        bait=(bait_reg["bitmap"], bait_reg["m_bits"], bait_reg["num_hashes"],
+              bait_reg["block_bits"], bait_reg["seg_offsets"]),
     )
     it1 = {
         r["start"]

@@ -29,8 +29,12 @@ from biobloom_spark.sketch import (
 
 
 def _rand_hashes(n: int, seed: int) -> np.ndarray:
+    # full-u64 uniform — models the engine's actual key universe (every
+    # frame hash is a splitmix64 avalanche output).  The fastrange word
+    # mapping (sketch.bloom.word_index64) consumes the HIGH bits, so a
+    # 63-bit generator would un-physically halve the address space.
     rng = np.random.default_rng(seed)
-    return rng.integers(0, 2**63, size=n).astype(np.uint64)
+    return rng.integers(0, 2**64, size=n, dtype=np.uint64)
 
 
 def _partitions(hashes: np.ndarray, cuts: list[int]):
@@ -349,3 +353,81 @@ class TestWordBlockedBloom:
         bf = BloomSketch.for_capacity(5000, 0.0078125, block_bits=64)
         bf.update_batch(h)
         assert bf.update_batch(h) == 1000  # all redundant second time
+
+
+class TestSegmentedWordBloom:
+    """Segmented 64-bit layout (sketch.bloom.word_index64 + maker's
+    distributed slice merge): parity between slice-built and
+    locally-inserted bitmaps, and bound checks."""
+
+    def _offsets(self, words_per_seg):
+        return np.concatenate(([0], np.cumsum(words_per_seg))).astype(np.int64)
+
+    def test_slice_build_equals_local_insert(self):
+        from biobloom_spark.sketch.bloom import (
+            or_scatter_sorted,
+            probe_words64,
+        )
+        from biobloom_spark.sketch.hashing import km_probe, mulhigh64
+
+        S, h = 8, 5
+        words_per_seg = [300, 1, 77, 512, 64, 9, 130, 300]
+        off = self._offsets(words_per_seg)
+        m = int(off[-1]) * 64
+        items = np.unique(_rand_hashes(50_000, 71))
+        local = BloomSketch(m_bits=m, num_hashes=h, block_bits=64, seg_offsets=off)
+        local.update_batch(items)
+        # distributed path: split by top-3 hash bits, scatter each slice
+        # independently (exactly what _seg_reduce_fn does), concatenate
+        k = 3
+        edges = np.arange(1, S, dtype=np.uint64) << np.uint64(64 - k)
+        bounds = np.concatenate(([0], np.searchsorted(items, edges), [items.size]))
+        slices = []
+        for s in range(S):
+            part = items[bounds[s]: bounds[s + 1]]
+            w = np.zeros(words_per_seg[s], dtype=np.uint64)
+            if part.size:
+                h1, h2 = km_probe(part)
+                lw = mulhigh64(h1 << np.uint64(k), np.uint64(w.size)).astype(np.int64)
+                or_scatter_sorted(w, lw, probe_words64(h2, h))
+            slices.append(w)
+        dist_bits = np.concatenate(slices).view(np.uint8)
+        assert np.array_equal(dist_bits, local.bits.view(np.uint8))
+        assert local.contains_batch(items).all()
+
+    def test_segment_ranges_respected_and_fpr(self):
+        S = 16
+        n, p = 60_000, 0.0078125
+        sk = BloomSketch.for_capacity(n, p, block_bits=64)
+        words = sk.m_bits // 64
+        base, rem = divmod(words, S)
+        off = self._offsets([base + (1 if s < rem else 0) for s in range(S)])
+        seg = BloomSketch(m_bits=sk.m_bits, num_hashes=sk.num_hashes,
+                          block_bits=64, seg_offsets=off)
+        train = _rand_hashes(n, 72)
+        seg.update_batch(train)
+        assert seg.contains_batch(train).all()  # no false negatives
+        probe = _rand_hashes(8 * n, 73)
+        train_set = set(train.tolist())
+        novel = np.asarray([x for x in probe.tolist() if x not in train_set],
+                           dtype=np.uint64)
+        assert seg.contains_batch(novel).mean() <= p
+
+    def test_unsorted_insert_matches_sorted(self):
+        off = self._offsets([100, 100, 200, 112])
+        m = int(off[-1]) * 64
+        items = _rand_hashes(5_000, 74)
+        a = BloomSketch(m_bits=m, num_hashes=4, block_bits=64, seg_offsets=off)
+        a.update_batch(items)  # np.unique → sorted fast path
+        b = BloomSketch(m_bits=m, num_hashes=4, block_bits=64, seg_offsets=off)
+        rng = np.random.default_rng(5)
+        shuffled = items.copy()
+        rng.shuffle(shuffled)
+        b.update_batch(np.unique(shuffled), assume_unique=True)
+        assert np.array_equal(a.bits, b.bits)
+
+    def test_zero_width_segment_rejected_by_maker_split(self):
+        from biobloom_spark.operators.maker import _pinned_seg_words
+
+        ws = _pinned_seg_words({"m_bits": 64 * 5}, 16)  # fewer words than segs
+        assert (ws >= 1).all() and len(ws) == 16

@@ -29,8 +29,9 @@ def main() -> None:
 
     from biobloom_spark.config import BloomParams, BuildConfig
     from biobloom_spark.operators.maker import (
+        _assemble_fn,
         _build_partition_fn,
-        _merge_partials_fn,
+        _seg_reduce_fn,
         build_filters,
         size_filters,
     )
@@ -62,35 +63,27 @@ def main() -> None:
     base = docs.filter(F.col("lang").isNotNull() & F.col("text").isNotNull()).select(
         F.col("lang").cast("string").alias("filter_id"), F.col("text")
     )
-    part_fn = _build_partition_fn(sizing, params, "text", "filter_id", None, None)
+    part_fn = _build_partition_fn(params, build, "text", "filter_id", None, None)
 
     t0 = time.perf_counter()
     base.mapInPandas(part_fn, schema=PARTIAL_SCHEMA).write.format("noop").mode("overwrite").save()
     out["partial_s"] = round(time.perf_counter() - t0, 2)
 
-    # materialize partials once, then time merge alone
+    # materialize partials once, then time the segmented merge alone
     ppath = "/tmp/profile_partials"
     base.mapInPandas(part_fn, schema=PARTIAL_SCHEMA).write.mode("overwrite").parquet(ppath)
     partials = spark.read.parquet(ppath).cache()
     partials.count()
 
     t0 = time.perf_counter()
-    level1 = (
-        partials.withColumn("bucket", F.pmod(F.col("bucket"), F.lit(8)).cast("int"))
-        .groupBy("filter_id", "bucket")
-        .applyInPandas(_merge_partials_fn(sizing, PARTIAL_SCHEMA, False, params), schema=PARTIAL_SCHEMA)
+    reduced = partials.groupBy("filter_id", "seg").applyInPandas(
+        _seg_reduce_fn(params, build, None, PARTIAL_SCHEMA), schema=PARTIAL_SCHEMA
     )
-    reg = level1.groupBy("filter_id").applyInPandas(
-        _merge_partials_fn(sizing, REGISTRY_SCHEMA, True, params), schema=REGISTRY_SCHEMA
+    reg = reduced.groupBy("filter_id").applyInPandas(
+        _assemble_fn(params, build, None), schema=REGISTRY_SCHEMA
     )
     reg.write.format("noop").mode("overwrite").save()
-    out["merge2level_s"] = round(time.perf_counter() - t0, 2)
-
-    t0 = time.perf_counter()
-    partials.groupBy("filter_id").applyInPandas(
-        _merge_partials_fn(sizing, REGISTRY_SCHEMA, True, params), schema=REGISTRY_SCHEMA
-    ).write.format("noop").mode("overwrite").save()
-    out["merge_flat_s"] = round(time.perf_counter() - t0, 2)
+    out["merge_seg_s"] = round(time.perf_counter() - t0, 2)
 
     t0 = time.perf_counter()
     build_filters(
