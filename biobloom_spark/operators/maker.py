@@ -69,6 +69,34 @@ _HLL_P = 14
 _CMS_W, _CMS_D = 8192, 5
 
 
+#: every whitespace codepoint Python's str.split() honors (ASCII + unicode
+#: spaces) — the translate() charset for the token-count upper bound
+_WS_CHARS = (
+    " \t\n\r\x0b\x0c\x1c\x1d\x1e\x1f\x85\xa0\u1680"
+    + "".join(chr(c) for c in range(0x2000, 0x200B))
+    + "\u2028\u2029\u202f\u205f\u3000"
+)
+
+
+def frames_upper_bound_col(text_col: str, shingle_w: int):
+    """JVM column: upper bound on a doc's shingle-frame count, by
+    *whitespace character* counting — no array allocation (a regex-split
+    agg cost more than the whole partial build on large corpora, and a
+    `\\s` regexp_replace measured 12 s of an 87 s build; translate() is
+    non-regex and ~free).  tokenize() splits on any whitespace run and
+    tokens <= whitespace chars + 1 always (a run of j ws chars separates
+    at most one boundary but counts j), so this is a true upper bound —
+    exact for the extractor's single-space output contract.  Overcounting
+    only makes a filter conservatively larger, same spirit as the
+    reference counting duplicate k-mers (BloomFilterGenerator.h:108-141).
+    """
+    t = F.trim(F.col(text_col))
+    n_tokens_ub = F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.length(t) - F.length(F.translate(t, _WS_CHARS, "")) + 1
+    )
+    return F.greatest(F.lit(0), n_tokens_ub - F.lit(shingle_w - 1))
+
+
 def size_filters(
     docs: DataFrame, key_col: str, text_col: str, params: BloomParams
 ) -> dict[str, dict]:
@@ -79,28 +107,7 @@ def size_filters(
     BloomFilterGenerator.h:108-141 — duplicates only make the filter
     conservatively large).
     """
-    # token-count upper bound by *whitespace character* counting (no array
-    # allocation — the regex-split agg cost more than the whole partial
-    # build on large corpora; and a `\s` regexp_replace over the full
-    # corpus measured 12 s of a 87 s build — translate() is non-regex and
-    # ~free).  tokenize() splits on any whitespace run, and tokens <=
-    # whitespace chars + 1 always (a run of j ws chars separates at most
-    # one boundary but counts j), so this is a true upper bound for every
-    # whitespace codepoint in the charset below (ASCII + the unicode
-    # spaces str.split() honors) — exact for the extractor's single-space
-    # output contract.  Overcounting only makes the filter conservatively
-    # larger, same spirit as the reference counting duplicate k-mers
-    # (BloomFilterGenerator.h:108-141).
-    ws_chars = (
-        " \t\n\r\x0b\x0c\x1c\x1d\x1e\x1f\x85\xa0\u1680"
-        + "".join(chr(c) for c in range(0x2000, 0x200B))
-        + "\u2028\u2029\u202f\u205f\u3000"
-    )
-    t = F.trim(F.col(text_col))
-    n_tokens_ub = F.when(F.length(t) == 0, F.lit(0)).otherwise(
-        F.length(t) - F.length(F.translate(t, ws_chars, "")) + 1
-    )
-    frames_ub = F.greatest(F.lit(0), n_tokens_ub - F.lit(params.shingle_w - 1))
+    frames_ub = frames_upper_bound_col(text_col, params.shingle_w)
     agg = (
         docs.select(key_col, text_col)
         .groupBy(key_col)

@@ -102,11 +102,9 @@ def build_mibf(
     label_to_idx = {lab: i + 1 for i, lab in enumerate(labels)}
 
     if expected_entries is None:
-        t = F.trim(F.col(text_col))
-        n_tokens_ub = F.when(F.length(t) == 0, F.lit(0)).otherwise(
-            F.length(t) - F.length(F.regexp_replace(t, F.lit(r"\s"), F.lit(""))) + 1
-        )
-        frames_ub = F.greatest(F.lit(0), n_tokens_ub - F.lit(shingle_w - 1))
+        from .maker import frames_upper_bound_col
+
+        frames_ub = frames_upper_bound_col(text_col, shingle_w)
         expected_entries = int(
             docs.agg(F.sum(frames_ub).alias("f")).collect()[0]["f"] or 1
         )
