@@ -750,6 +750,14 @@ def build_filters(
     resume = False
     if partials_path and os.path.exists(partials_path):
         resume = snap_fp is not None and _read_snapshot(partials_path) == snap_fp
+        if resume:
+            # a checkpoint from an older engine version (pre-segmentation
+            # schema) is stale state, not resumable state — rebuild
+            try:
+                have_cols = set(spark.read.parquet(partials_path).columns)
+            except Exception:
+                have_cols = set()
+            resume = {f.name for f in PARTIAL_SCHEMA.fields} <= have_cols
 
     if strategy == "partition":
         base = docs.select(
