@@ -323,6 +323,105 @@ def _cmd_categorizer(argv: list[str]) -> int:
     return 0
 
 
+def _cmd_mimaker(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser(
+        prog="biobloom_spark mimaker",
+        description="Create a multi-index Bloom filter (biobloommimaker twin: "
+        "one uint16-ID-per-slot sketch over many labels).",
+    )
+    ap.add_argument("files", nargs="+", metavar="FILE")
+    ap.add_argument("-p", "--file_prefix", required=True)
+    ap.add_argument("-o", "--output_dir", default=".")
+    ap.add_argument("-b", "--occupancy", type=float, default=0.5)
+    ap.add_argument("-n", "--num_ele", type=int, default=0)
+    ap.add_argument("-S", "--seed_str", default=None,
+                    help="spaced seeds, e.g. '10101 11011' (skip-gram masks "
+                    "over the w-token window; seed length = -k)")
+    ap.add_argument("-F", "--by_file", action="store_true",
+                    help="assign IDs by file rather than by record header")
+    ap.add_argument("-g", "--hash_num", type=int, default=3)
+    ap.add_argument("-k", "--kmer_size", type=int, default=25)
+    ap.add_argument("-t", "--threads", type=int, default=0)
+    ap.add_argument("--key-col", default=None,
+                    help="parquet mode: label column (e.g. lang)")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from .operators.mibf import build_mibf, save_mibf
+
+    spark = _spark(args.threads)
+    if all(_is_parquet(f) for f in args.files):
+        docs = spark.read.parquet(*args.files)
+        key_col = args.key_col or "lang"
+    else:
+        from .sources.fasta import read_fasta, seq_to_char_tokens
+
+        fa = read_fasta(spark, args.files[0])
+        for f in args.files[1:]:
+            fa = fa.unionByName(read_fasta(spark, f))
+        docs = seq_to_char_tokens(fa)
+        # ID source (-F): per input file vs per record header
+        docs = docs.withColumn(
+            "__label",
+            F.regexp_extract(F.col("path"), r"([^/]+)$", 1) if args.by_file
+            else F.col("header"),
+        ).select(F.col("header").alias("doc_id"), "text", "__label")
+        key_col = "__label"
+    sk = build_mibf(
+        spark, docs, key_col=key_col, shingle_w=args.kmer_size,
+        num_hashes=args.hash_num, occupancy=args.occupancy,
+        seeds=args.seed_str.split() if args.seed_str else None,
+        expected_entries=args.num_ele or None,
+    )
+    os.makedirs(args.output_dir, exist_ok=True)
+    path = os.path.join(args.output_dir, f"{args.file_prefix}_mibf.parquet")
+    save_mibf(spark, sk, path)
+    print(f"mibf: {path}  labels={len(sk.labels)} occupancy={sk.occupancy():.3f} "
+          f"saturation={sk.saturation_rate():.4f}")
+    return 0
+
+
+def _cmd_micategorizer(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser(
+        prog="biobloom_spark micategorizer",
+        description="Classify against a multi-index Bloom filter "
+        "(biobloommicategorizer twin).",
+    )
+    ap.add_argument("files", nargs="+", metavar="FILE")
+    ap.add_argument("-f", "--filter", required=True, help="miBF parquet path")
+    ap.add_argument("-p", "--prefix", default="./bbmi_out")
+    ap.add_argument("-s", "--min_FPR", type=float, default=100.0,
+                    help="minimum -10*log10(FPR) threshold for a match [100]")
+    ap.add_argument("-m", "--multi", type=float, default=2.0,
+                    help="multi-match window on full counts [2]")
+    ap.add_argument("-i", "--hitOnly", action="store_true")
+    ap.add_argument("-t", "--threads", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from .operators.mibf import classify_mibf, load_mibf, mibf_summarize
+
+    spark = _spark(args.threads)
+    sk = load_mibf(spark, args.filter)
+    docs = _load_docs(spark, args.files, sk.shingle_w)
+    id_col = docs.columns[0]
+    res = classify_mibf(
+        spark, docs, sk, alpha=10.0 ** (-args.min_FPR / 10.0),
+        multi_thresh=int(args.multi), id_col=id_col,
+    ).cache()
+    os.makedirs(os.path.dirname(args.prefix) or ".", exist_ok=True)
+    mibf_summarize(res).toPandas().to_csv(
+        f"{args.prefix}_summary.tsv", sep="\t", index=False
+    )
+    out = res.filter(F.col("assigned") != "noMatch") if args.hitOnly else res
+    for row in out.select(id_col, "assigned", "best_score").toLocalIterator():
+        print(f"{row[0]}\t{row[1]}\t{row[2]:.1f}")
+    print(f"summary: {args.prefix}_summary.tsv", file=sys.stderr)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
@@ -335,7 +434,14 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_maker(rest)
     if cmd == "categorizer":
         return _cmd_categorizer(rest)
-    print(f"unknown subcommand {cmd!r} (expected maker|categorizer)", file=sys.stderr)
+    if cmd == "mimaker":
+        return _cmd_mimaker(rest)
+    if cmd == "micategorizer":
+        return _cmd_micategorizer(rest)
+    print(
+        f"unknown subcommand {cmd!r} (expected maker|categorizer|mimaker|micategorizer)",
+        file=sys.stderr,
+    )
     return 2
 
 

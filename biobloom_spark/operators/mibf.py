@@ -45,7 +45,7 @@ from ..sketch.mibf import (
     seed_masks_to_arrays,
 )
 
-__all__ = ["build_mibf", "classify_mibf", "mibf_summarize"]
+__all__ = ["build_mibf", "classify_mibf", "mibf_summarize", "save_mibf", "load_mibf"]
 
 _CLAIMS_SCHEMA = T.StructType(
     [
@@ -357,6 +357,41 @@ def classify_mibf(
             )
 
     return docs.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
+_MIBF_SCHEMA = T.StructType(
+    [
+        T.StructField("m_slots", T.LongType(), False),
+        T.StructField("num_hashes", T.IntegerType(), False),
+        T.StructField("shingle_w", T.IntegerType(), False),
+        T.StructField("labels", T.ArrayType(T.StringType()), False),
+        T.StructField("seeds", T.ArrayType(T.StringType()), True),
+        T.StructField("ids", T.BinaryType(), False),
+    ]
+)
+
+
+def save_mibf(spark: SparkSession, sketch: MIBFSketch, path: str) -> None:
+    """Persist a miBF as a one-row parquet table (the ``.bf``+INI analog
+    of the MI product line — BioBloomMIMaker's output contract)."""
+    seeds = None
+    if sketch.seeds is not None:
+        seeds = ["".join("1" if b else "0" for b in row) for row in sketch.seeds]
+    spark.createDataFrame(
+        [(sketch.m_slots, sketch.num_hashes, sketch.shingle_w,
+          list(sketch.labels), seeds, sketch.serialize())],
+        _MIBF_SCHEMA,
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_mibf(spark: SparkSession, path: str) -> MIBFSketch:
+    r = spark.read.parquet(path).collect()[0]
+    seeds = seed_masks_to_arrays(list(r["seeds"]) if r["seeds"] else None,
+                                 int(r["shingle_w"]))
+    return MIBFSketch.deserialize(
+        bytes(r["ids"]), int(r["m_slots"]), int(r["num_hashes"]),
+        int(r["shingle_w"]), list(r["labels"]), seeds, copy=True,
+    )
 
 
 def mibf_summarize(result: DataFrame) -> DataFrame:

@@ -72,3 +72,21 @@ def test_maker_progressive_mode(spark, fasta_fixtures, tmp_path):
     assert len(reg) == 1 and reg[0]["filter_id"] == "walk"
     tagged = spark.read.parquet(str(out / "walk_tagged.parquet"))
     assert tagged.count() >= 1
+
+
+def test_mimaker_micategorizer_roundtrip(spark, tmp_path, capsys):
+    """biobloommimaker/biobloommicategorizer twins over the web corpus:
+    per-lang miBF persisted and reloaded, classifications match labels."""
+    out = tmp_path / "mi"
+    assert main(["mimaker", "-p", "langs", "-o", str(out), "--key-col", "lang",
+                 "-k", "3", "-b", "0.1",
+                 "/root/testdata/sf0.001/documents.parquet"]) == 0
+    assert main(["micategorizer", "-f", str(out / "langs_mibf.parquet"),
+                 "-p", str(out / "run"), "-i",
+                 "/root/testdata/sf0.001/documents.parquet"]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if "\t" in l]
+    assert len(lines) >= 400  # hitOnly still covers most docs
+    import pandas as pd
+
+    summary = pd.read_csv(out / "run_summary.tsv", sep="\t")
+    assert set(summary["assigned"]) >= {"de", "en", "es", "fr", "zh"}
