@@ -391,6 +391,9 @@ def _cmd_micategorizer(argv: list[str]) -> int:
     ap.add_argument("files", nargs="+", metavar="FILE")
     ap.add_argument("-f", "--filter", required=True, help="miBF parquet path")
     ap.add_argument("-p", "--prefix", default="./bbmi_out")
+    ap.add_argument("-e", "--paired_mode", action="store_true",
+                    help="pair mates (smart pairing by header); counts sum "
+                    "across mates before the significance test")
     ap.add_argument("-s", "--min_FPR", type=float, default=100.0,
                     help="minimum -10*log10(FPR) threshold for a match [100]")
     ap.add_argument("-m", "--multi", type=float, default=2.0,
@@ -401,16 +404,37 @@ def _cmd_micategorizer(argv: list[str]) -> int:
 
     from pyspark.sql import functions as F
 
-    from .operators.mibf import classify_mibf, load_mibf, mibf_summarize
+    from .operators.mibf import (
+        classify_mibf,
+        classify_mibf_pairs,
+        load_mibf,
+        mibf_summarize,
+    )
 
     spark = _spark(args.threads)
     sk = load_mibf(spark, args.filter)
     docs = _load_docs(spark, args.files, sk.shingle_w)
     id_col = docs.columns[0]
-    res = classify_mibf(
-        spark, docs, sk, alpha=10.0 ** (-args.min_FPR / 10.0),
-        multi_thresh=int(args.multi), id_col=id_col,
-    ).cache()
+    alpha = 10.0 ** (-args.min_FPR / 10.0)
+    if args.paired_mode:
+        from .sources.fasta import pair_reads
+
+        paired = pair_reads(
+            docs.selectExpr(f"{id_col} as header", "text as seq")
+            .withColumn("qual", F.lit(None).cast("string"))
+            .withColumn("comment", F.lit(None).cast("string"))
+            .withColumn("path", F.lit(""))
+        )
+        id_col = "pair_key"
+        res = classify_mibf_pairs(
+            spark, paired, sk, alpha=alpha, multi_thresh=int(args.multi),
+            id_col=id_col,
+        ).cache()
+    else:
+        res = classify_mibf(
+            spark, docs, sk, alpha=alpha,
+            multi_thresh=int(args.multi), id_col=id_col,
+        ).cache()
     os.makedirs(os.path.dirname(args.prefix) or ".", exist_ok=True)
     mibf_summarize(res).toPandas().to_csv(
         f"{args.prefix}_summary.tsv", sep="\t", index=False

@@ -45,7 +45,10 @@ from ..sketch.mibf import (
     seed_masks_to_arrays,
 )
 
-__all__ = ["build_mibf", "classify_mibf", "mibf_summarize", "save_mibf", "load_mibf"]
+__all__ = [
+    "build_mibf", "classify_mibf", "classify_mibf_pairs", "mibf_summarize",
+    "save_mibf", "load_mibf",
+]
 
 _CLAIMS_SCHEMA = T.StructType(
     [
@@ -204,27 +207,25 @@ def build_mibf(
     return sketch
 
 
-def _classify_batch(
-    texts: np.ndarray,
-    sketch: MIBFSketch,
-    per_frame_prob: np.ndarray,
-    alpha_adj: float,
-    multi_thresh: int,
-    cache: dict,
-):
-    """Vectorized evalRead (MIBFClassifier.hpp:842-930) over one batch.
+def _count_batch(texts: np.ndarray, sketch: MIBFSketch, cache: dict):
+    """Per-doc per-label hit counting (evalRead counts loop,
+    MIBFClassifier.hpp:850-890) over one batch.
 
-    Returns (n_frames, assigned, hits_lists, best_scores)."""
+    Returns (frames[n_docs], keys, counts, full) where ``keys`` encodes
+    (doc, label) as doc*(L+1)+label, ``counts`` is the distinct-per-frame
+    any-probe count and ``full`` the all-probes-present non-saturated
+    count.  Mergeable across mates: concatenate keys and sum (the paired
+    classify sums both reads' counts against the combined frame count —
+    MIBFClassifier.hpp:802-835 ``classify(support, seq1, seq2)``).
+    """
     w, L = sketch.shingle_w, len(sketch.labels)
     rows, offsets = _frame_hash_rows(texts, None, w, sketch.seeds, cache)
     n_docs = offsets.size - 1
     frames = np.diff(offsets)
     n_fr = int(offsets[-1])
-    assigned = np.full(n_docs, NO_MATCH, dtype=object)
-    hits_out: list = [[] for _ in range(n_docs)]
-    best = np.zeros(n_docs)
+    empty = np.empty(0, dtype=np.int64)
     if n_fr == 0:
-        return frames, assigned, hits_out, best
+        return frames, empty, empty, empty
     pos = sketch.positions_for(rows)  # (h, n_fr)
     lab, sat = sketch.gather(pos)  # (h, n_fr) uint16 / bool
     h = pos.shape[0]
@@ -238,7 +239,7 @@ def _classify_batch(
         ``mask`` holds → (doc*(L+1)+label keys, counts)."""
         sel = mask & (lab_flat > 0)
         if not sel.any():
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+            return empty, empty
         fl_keys = frame_col[sel] * np.int64(L + 1) + lab_flat[sel]
         fl_uniq = np.unique(fl_keys)  # one per (frame, label)
         fr = fl_uniq // np.int64(L + 1)
@@ -246,24 +247,58 @@ def _classify_batch(
         dl_keys = doc_of_frame[fr] * np.int64(L + 1) + lb
         return np.unique(dl_keys, return_counts=True)
 
-    # counts: any present probe (saturated or not), distinct per frame
-    # (evalRead counts loop, MIBFClassifier.hpp:850-873)
     keys_c, counts_c = per_doc_label_counts(np.ones_like(sat_flat, dtype=bool))
     if keys_c.size == 0:
-        return frames, assigned, hits_out, best
-    # full counts: frames with ALL probes present, non-saturated entries
-    # only (MIBFClassifier.hpp:874-890)
+        return frames, empty, empty, empty
     full_frame = (lab > 0).all(axis=0)
     keys_f, counts_f = per_doc_label_counts(full_frame[frame_col] & ~sat_flat)
-
-    doc_i = keys_c // np.int64(L + 1)
-    lab_i = keys_c % np.int64(L + 1)
     full_i = np.zeros(keys_c.size, dtype=np.int64)
     if keys_f.size:
         fidx = np.searchsorted(keys_f, keys_c)
         fidx = np.clip(fidx, 0, keys_f.size - 1)
         match = keys_f[fidx] == keys_c
         full_i[match] = counts_f[fidx[match]]
+    return frames, keys_c, counts_c, full_i
+
+
+def _merge_counts(parts: list[tuple]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Sum keyed (doc,label) count sets from several mates."""
+    keys = np.concatenate([p[0] for p in parts])
+    if keys.size == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, e
+    counts = np.concatenate([p[1] for p in parts])
+    full = np.concatenate([p[2] for p in parts])
+    uniq, inv = np.unique(keys, return_inverse=True)
+    return (
+        uniq,
+        np.bincount(inv, weights=counts).astype(np.int64),
+        np.bincount(inv, weights=full).astype(np.int64),
+    )
+
+
+def _decide_batch(
+    n_docs: int,
+    frames: np.ndarray,
+    keys_c: np.ndarray,
+    counts_c: np.ndarray,
+    full_i: np.ndarray,
+    sketch: MIBFSketch,
+    per_frame_prob: np.ndarray,
+    alpha_adj: float,
+    multi_thresh: int,
+):
+    """Significance + ranking (MIBFClassifier.hpp:842-930) given counts.
+
+    Returns (assigned, hits_lists, best_scores)."""
+    L = len(sketch.labels)
+    assigned = np.full(n_docs, NO_MATCH, dtype=object)
+    hits_out: list = [[] for _ in range(n_docs)]
+    best = np.zeros(n_docs)
+    if keys_c.size == 0:
+        return assigned, hits_out, best
+    doc_i = keys_c // np.int64(L + 1)
+    lab_i = keys_c % np.int64(L + 1)
 
     # binomial significance P(X > count) < alpha/numIDs (Bonferroni,
     # MIBFClassifier.hpp:895,936); memoize per unique (count, frames, label)
@@ -297,6 +332,25 @@ def _classify_batch(
             hits_out[doc] = list(labels_np[li2[s:e]])
             assigned[doc] = hits_out[doc][0] if e - s == 1 else MULTI_MATCH
             best[doc] = min(1000.0, -10.0 * lp2[s] / math.log(10.0))
+    return assigned, hits_out, best
+
+
+def _classify_batch(
+    texts: np.ndarray,
+    sketch: MIBFSketch,
+    per_frame_prob: np.ndarray,
+    alpha_adj: float,
+    multi_thresh: int,
+    cache: dict,
+):
+    """Vectorized single-read evalRead over one batch: count + decide.
+
+    Returns (n_frames, assigned, hits_lists, best_scores)."""
+    frames, keys_c, counts_c, full_i = _count_batch(texts, sketch, cache)
+    assigned, hits_out, best = _decide_batch(
+        frames.size, frames, keys_c, counts_c, full_i, sketch,
+        per_frame_prob, alpha_adj, multi_thresh,
+    )
     return frames, assigned, hits_out, best
 
 
@@ -357,6 +411,71 @@ def classify_mibf(
             )
 
     return docs.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
+def classify_mibf_pairs(
+    spark: SparkSession,
+    docs: DataFrame,
+    sketch: MIBFSketch,
+    alpha: float = 1e-10,
+    multi_thresh: int = 2,
+    id_col: str = "doc_id",
+    text1_col: str = "text1",
+    text2_col: str = "text2",
+) -> DataFrame:
+    """Paired miBF classification (``-e``): both mates' per-ID counts SUM
+    and the binomial test runs on the combined frame count — the
+    semantics of ``classify(support, seq1, seq2)`` /
+    ``filterPairedRead`` (MIBFClassifier.hpp:753-835), where
+    ``support.query(itr1, itr2, minCount)`` accumulates one count set
+    over both reads.  A null/short mate contributes zero frames.
+    """
+    from ..session import ensure_workers
+
+    ensure_workers(spark)
+    payload = sketch.serialize()
+    meta = (sketch.m_slots, sketch.num_hashes, sketch.shingle_w, sketch.labels)
+    seeds = sketch.seeds
+    bc = spark.sparkContext.broadcast((payload, meta, seeds))
+    per_frame_prob = sketch.per_frame_prob()
+    alpha_adj = alpha / max(1, len(sketch.labels))
+    id_field = docs.schema[id_col]
+    schema = T.StructType(
+        [
+            id_field,
+            T.StructField("n_frames", T.LongType(), False),
+            T.StructField("hits", T.ArrayType(T.StringType()), False),
+            T.StructField("assigned", T.StringType(), False),
+            T.StructField("best_score", T.DoubleType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl, (m, h, w, labels), sd = bc.value
+        sk = MIBFSketch.deserialize(pl, m, h, w, labels, sd)
+        cache: dict = {}
+        for pdf in batches:
+            t1 = pdf[text1_col].fillna("").to_numpy()
+            t2 = pdf[text2_col].fillna("").to_numpy()
+            f1, k1, c1, fu1 = _count_batch(t1, sk, cache)
+            f2, k2, c2, fu2 = _count_batch(t2, sk, cache)
+            keys, counts, full = _merge_counts([(k1, c1, fu1), (k2, c2, fu2)])
+            frames = f1 + f2
+            assigned, hits, best = _decide_batch(
+                frames.size, frames, keys, counts, full, sk,
+                per_frame_prob, alpha_adj, multi_thresh,
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "n_frames": frames,
+                    "hits": hits,
+                    "assigned": assigned,
+                    "best_score": best,
+                }
+            )
+
+    return docs.select(id_col, text1_col, text2_col).mapInPandas(run, schema=schema)
 
 
 _MIBF_SCHEMA = T.StructType(

@@ -219,3 +219,70 @@ class TestSeeds:
         )
         row = classify_mibf(spark, probe, sk, alpha=1e-6).collect()[0]
         assert row["assigned"] == "lab"
+
+
+class TestPairedClassify:
+    """classify_mibf_pairs (-e): counts sum across mates against the
+    combined frame count (MIBFClassifier.hpp:753-835)."""
+
+    def test_pair_with_empty_mate_equals_single(self, spark, labeled_corpus, mibf):
+        from biobloom_spark.operators.mibf import classify_mibf_pairs
+
+        pairs = labeled_corpus.select(
+            "doc_id", F.col("text").alias("text1"), F.lit(None).cast("string").alias("text2")
+        )
+        paired = {r["doc_id"]: r for r in classify_mibf_pairs(spark, pairs, mibf).collect()}
+        single = {r["doc_id"]: r for r in classify_mibf(spark, labeled_corpus, mibf).collect()}
+        assert paired.keys() == single.keys()
+        for k in single:
+            assert paired[k]["assigned"] == single[k]["assigned"], k
+            assert paired[k]["n_frames"] == single[k]["n_frames"], k
+            assert abs(paired[k]["best_score"] - single[k]["best_score"]) < 1e-9, k
+
+    def test_pair_is_mate_symmetric(self, spark, labeled_corpus, mibf):
+        from biobloom_spark.operators.mibf import classify_mibf_pairs
+
+        rng = np.random.default_rng(9)
+        halves = labeled_corpus.limit(30).select(
+            "doc_id",
+            F.substring_index("text", " ", 30).alias("text1"),
+            F.substring_index(F.reverse("text"), " ", 30).alias("text2"),
+        )
+        a = {r["doc_id"]: r["assigned"] for r in classify_mibf_pairs(spark, halves, mibf).collect()}
+        swapped = halves.select(
+            "doc_id", F.col("text2").alias("text1"), F.col("text1").alias("text2")
+        )
+        b = {r["doc_id"]: r["assigned"] for r in classify_mibf_pairs(spark, swapped, mibf).collect()}
+        assert a == b
+
+    def test_pair_combines_evidence(self, spark, labeled_corpus, mibf):
+        """Splitting a doc across mates classifies like the whole doc —
+        the count-sum semantics (evidence accumulates across the pair)."""
+        from biobloom_spark.operators.mibf import classify_mibf_pairs
+
+        docs = labeled_corpus.limit(40)
+        split = docs.select(
+            "doc_id",
+            F.array_join(F.slice(F.split("text", " "), 1, 30), " ").alias("text1"),
+            F.array_join(F.slice(F.split("text", " "), 31, 30), " ").alias("text2"),
+        )
+        res = classify_mibf_pairs(spark, split, mibf).join(
+            labeled_corpus.select("doc_id", "lang"), on="doc_id"
+        )
+        rows = res.collect()
+        correct = sum(r["assigned"] == r["lang"] for r in rows)
+        assert correct / len(rows) >= 0.95
+
+    def test_merge_counts_sums_keyed(self):
+        from biobloom_spark.operators.mibf import _merge_counts
+
+        k1 = np.asarray([3, 7, 9], dtype=np.int64)
+        c1 = np.asarray([2, 5, 1], dtype=np.int64)
+        f1 = np.asarray([1, 4, 0], dtype=np.int64)
+        k2 = np.asarray([7, 11], dtype=np.int64)
+        c2 = np.asarray([3, 6], dtype=np.int64)
+        f2 = np.asarray([2, 6], dtype=np.int64)
+        keys, counts, full = _merge_counts([(k1, c1, f1), (k2, c2, f2)])
+        assert keys.tolist() == [3, 7, 9, 11]
+        assert counts.tolist() == [2, 8, 1, 6]
+        assert full.tolist() == [1, 6, 0, 6]
