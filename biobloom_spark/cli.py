@@ -261,6 +261,12 @@ def _cmd_categorizer(argv: list[str]) -> int:
                     help="override shingle window (default: from the filters)")
     ap.add_argument("--demux", action="store_true",
                     help="write demultiplexed per-category outputs (S7)")
+    ap.add_argument("--fa", action="store_true",
+                    help="demultiplexed per-category FASTA output")
+    ap.add_argument("--fq", action="store_true",
+                    help="demultiplexed per-category FASTQ output")
+    ap.add_argument("-g", "--gz_output", action="store_true",
+                    help="gzip the demultiplexed text outputs")
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -271,13 +277,22 @@ def _cmd_categorizer(argv: list[str]) -> int:
         categorize_pairs,
         summarize,
         write_demultiplexed,
+        write_demultiplexed_reads,
     )
-    from .sources.fasta import pair_reads
+    from .sources.fasta import pair_reads, read_fasta, seq_to_char_tokens
 
     spark = _spark(args.threads)
     filters = _load_filters(spark, args.filter_files.split())
     if args.kmer_size:
         filters = [{**f, "shingle_w": args.kmer_size} for f in filters]
+    # raw records kept when the input is FASTA/FASTQ: the --fa/--fq demux
+    # sink re-emits them verbatim per assigned category
+    records = None
+    if not all(_is_parquet(f) for f in args.files):
+        records = read_fasta(spark, args.files[0])
+        for f in args.files[1:]:
+            records = records.unionByName(read_fasta(spark, f))
+        records = records.cache()
 
     from dataclasses import replace
 
@@ -294,7 +309,12 @@ def _cmd_categorizer(argv: list[str]) -> int:
         ordered_filters=[f["filter_id"] for f in filters] if args.ordered else None,
     )
 
-    docs = _load_docs(spark, args.files, args.kmer_size or filters[0]["shingle_w"])
+    if records is not None:
+        docs = seq_to_char_tokens(records).select(
+            F.col("header").alias("doc_id"), "text"
+        )
+    else:
+        docs = _load_docs(spark, args.files, args.kmer_size or filters[0]["shingle_w"])
     id_col = docs.columns[0]
     if args.paired_mode and not _is_parquet(args.files[0]):
         paired = pair_reads(docs.selectExpr(f"{id_col} as header", "text as seq")
@@ -314,6 +334,12 @@ def _cmd_categorizer(argv: list[str]) -> int:
     summary.toPandas().to_csv(f"{out_prefix}_summary.tsv", sep="\t", index=False)
     if args.demux:
         write_demultiplexed(res, docs, f"{out_prefix}_demux", id_col=id_col)
+    if (args.fa or args.fq) and records is not None and id_col != "pair_key":
+        write_demultiplexed_reads(
+            res.withColumnRenamed(id_col, "header"), records,
+            f"{out_prefix}_reads",
+            fmt="fasta" if args.fa else "fastq", gzip_output=args.gz_output,
+        )
     if args.stdout_filter or args.inverse:
         first = filters[0]["filter_id"]
         pred = F.col("assigned") != first if args.inverse else F.col("assigned") == first

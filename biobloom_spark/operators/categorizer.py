@@ -31,7 +31,10 @@ from ..sketch import BloomSketch
 from ..sketch.hashing import km_probe
 from .scoring import SegmentedBatch, score_batch
 
-__all__ = ["categorize", "categorize_pairs", "summarize", "summarize_fused", "write_demultiplexed"]
+__all__ = [
+    "categorize", "categorize_pairs", "summarize", "summarize_fused",
+    "write_demultiplexed", "write_demultiplexed_reads",
+]
 
 
 def _result_schema(id_field: T.StructField) -> T.StructType:
@@ -363,6 +366,44 @@ def summarize_fused(
             ]
         ),
     )
+
+
+def write_demultiplexed_reads(
+    result: DataFrame,
+    reads: DataFrame,
+    path: str,
+    id_col: str = "header",
+    fmt: str = "fastq",
+    gzip_output: bool = False,
+) -> None:
+    """S7 text sink: per-category FASTA/FASTQ files — the reference's
+    demultiplexed read outputs (one file set per filter + noMatch +
+    multiMatch, BioBloomClassifier.cpp:108-210; --fa/--fq/-g switches,
+    gz via Dynamicofstream.cpp:14-24).  ``reads`` carries the raw
+    (header, seq, qual) records; Spark's dynamic partition write is the
+    demultiplex — one directory per ``assigned`` value, gzip via the
+    text codec.
+    """
+    j = reads.join(result.select(id_col, "assigned"), on=id_col)
+    if fmt == "fasta":
+        value = F.concat(F.lit(">"), F.col(id_col), F.lit("\n"), F.col("seq"))
+    elif fmt == "fastq":
+        value = F.concat(
+            F.lit("@"), F.col(id_col), F.lit("\n"), F.col("seq"),
+            F.lit("\n+\n"),
+            F.coalesce(F.col("qual"), F.lit("")),
+        )
+    else:  # pragma: no cover
+        raise ValueError(f"unknown demux text format {fmt!r}")
+    w = (
+        j.select(value.alias("value"), "assigned")
+        .repartition("assigned")
+        .write.partitionBy("assigned")
+        .mode("overwrite")
+    )
+    if gzip_output:
+        w = w.option("compression", "gzip")
+    w.text(path)
 
 
 def write_demultiplexed(result: DataFrame, docs: DataFrame, path: str,

@@ -90,3 +90,26 @@ def test_mimaker_micategorizer_roundtrip(spark, tmp_path, capsys):
 
     summary = pd.read_csv(out / "run_summary.tsv", sep="\t")
     assert set(summary["assigned"]) >= {"de", "en", "es", "fr", "zh"}
+
+
+def test_categorizer_fq_gz_demux(spark, fasta_fixtures, tmp_path):
+    """--fq -g: per-category gzipped FASTQ demultiplexed outputs (S7,
+    BioBloomClassifier.cpp:108-210 + Dynamicofstream gz switch)."""
+    import glob
+    import gzip
+
+    d, _ref = fasta_fixtures
+    out = tmp_path / "demux"
+    assert main(["maker", "-p", "chr1", "-o", str(out), "-k", "25",
+                 "--classic", str(d / "ref.fa")]) == 0
+    assert main(["categorizer", "-f", str(out / "chr1.bf"),
+                 "-p", str(out / "run"), "-s", "0.15", "--fq", "-g",
+                 str(d / "reads.fq")]) == 0
+    cats = {p.split("assigned=")[1].rstrip("/")
+            for p in glob.glob(str(out / "run_reads" / "assigned=*"))}
+    assert cats == {"chr1", "noMatch"}
+    recs = []
+    for gz in glob.glob(str(out / "run_reads" / "assigned=chr1" / "*.gz")):
+        recs.extend(gzip.open(gz, "rt").read().splitlines())
+    assert len(recs) == 30 * 4  # 30 planted reads, 4 FASTQ lines each
+    assert recs[0].startswith("@r") and recs[2] == "+"
