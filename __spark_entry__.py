@@ -263,14 +263,31 @@ def q_mibf_classify_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_language_id_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID via besthit categorization; per-predicted-lang counts
-    (Bloom-based → rows-only; accuracy pytest-verified)."""
+    """Language-ID via besthit categorization; per-predicted-lang counts.
+
+    Gate design (mirrors the miBF gate): tokens are lang-prefixed so the
+    per-language profile vocabularies are disjoint by construction — the
+    true language's filter covers every frame (score 1.0) and, at
+    fpr=1e-6, no other filter can tie by covering *all* frames by false
+    positives — so the exact DuckDB twin is simply lang (noMatch for <w
+    tokens).  Realistic shared-vocabulary accuracy is pytest-verified
+    (tests/test_pipeline_ops.py) instead.
+    """
+    from biobloom_spark.config import BloomParams
     from biobloom_spark.operators.textstats import language_id, train_language_profiles
+    from biobloom_spark.sources.tables import tokens_col
 
     docs = _docs(spark, sf_dir)
-    profiles = train_language_profiles(spark, docs)
+    pref = F.array_join(
+        F.transform(tokens_col("text"), lambda t: F.concat(F.col("lang"), F.lit("_"), t)),
+        " ",
+    )
+    d = docs.select("doc_id", "lang", pref.alias("text"))
+    profiles = train_language_profiles(
+        spark, d, params=BloomParams(fpr=1e-6, shingle_w=SHINGLE_W)
+    )
     return (
-        language_id(spark, docs, profiles)
+        language_id(spark, d, profiles)
         .groupBy("pred_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -468,9 +485,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs
             FROM documents GROUP BY 1
         """,
+        "language_id_summary": f"""
+            SELECT CASE WHEN len({_TOKS}) >= {SHINGLE_W} THEN lang
+                        ELSE 'noMatch' END AS pred_lang,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1
+        """,
         # rows-only (approximate / hash-specific, pytest-verified instead):
-        # bloom_categorize_summary, minhash_lsh_dups, simhash_dups,
-        # ivf_topk, language_id_summary
+        # bloom_categorize_summary, minhash_lsh_dups, simhash_dups, ivf_topk
     }
 
 

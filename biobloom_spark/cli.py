@@ -101,14 +101,15 @@ def _load_filters(spark, specs: list[str], order: list[str] | None = None):
 def _write_filter_dicts_as_registry(spark, filters: list[dict], path: str) -> None:
     """Persist load_registry-shaped dicts (e.g. progressive_build output)
     as a registry parquet the categorizer CLI can reload."""
-    from .sources.tables import REGISTRY_SCHEMA
+    from .sources.tables import REGISTRY_LAYOUT_VERSION, REGISTRY_SCHEMA
 
     rows = []
     for f in filters:
         so = f.get("seg_offsets")
         rows.append(
             (
-                f["filter_id"], int(f["m_bits"]), int(f["num_hashes"]),
+                f["filter_id"], REGISTRY_LAYOUT_VERSION,
+                int(f["m_bits"]), int(f["num_hashes"]),
                 int(f.get("block_bits", 0)), int(f["shingle_w"]),
                 float(f.get("target_fpr", 0.0)),
                 int(f.get("expected_entries", 0)), 0, 0,
@@ -152,7 +153,17 @@ def _cmd_maker(argv: list[str]) -> int:
     ap.add_argument("--classic", action="store_true",
                     help="reference classic bit layout (block_bits=0); also "
                     "exports the .bf + INI container")
+    ap.add_argument("--num-seeds", type=int, default=0, metavar="N",
+                    help="progressive mode: first N files are seeds "
+                    "(default 0 = auto: non-FASTQ files are seeds, "
+                    "FASTQ files are reads; at least one of each)")
     args = ap.parse_args(argv)
+    if args.num_ele and args.key_col:
+        # -n pins one sizing dict keyed by the file prefix, but --key-col
+        # builds a filter per key value — reducers would KeyError on every
+        # other key.  Derive sizing from the input instead.
+        ap.error("-n/--num_ele cannot be combined with --key-col "
+                 "(per-key sizing is derived from the input)")
 
     from pyspark.sql import functions as F
 
@@ -179,10 +190,22 @@ def _cmd_maker(argv: list[str]) -> int:
 
     if args.progressive is not None:
         # reference usage: FILE... are the seeds, trailing FASTQ the reads
+        # (BioBloomMaker -r accepts multiple seed FASTAs before the reads)
         if len(args.files) < 2:
             ap.error("-r progressive mode needs seed FILE(s) plus read FILE(s)")
-        seeds = _load_docs(spark, args.files[:1], args.kmer_size)
-        reads = _load_docs(spark, args.files[1:], args.kmer_size)
+        if args.num_seeds > 0:
+            n_seeds = args.num_seeds
+        else:
+            # auto-split: FASTQ extensions are reads, everything before the
+            # first FASTQ is a seed; all-parquet/FASTA input → 1 seed file
+            fq_exts = (".fq", ".fastq", ".fq.gz", ".fastq.gz")
+            is_read = [f.lower().endswith(fq_exts) for f in args.files]
+            n_seeds = is_read.index(True) if any(is_read) else 1
+        if not (1 <= n_seeds < len(args.files)):
+            ap.error(f"--num-seeds {n_seeds} leaves no read files "
+                     f"(got {len(args.files)} files)")
+        seeds = _load_docs(spark, args.files[:n_seeds], args.kmer_size)
+        reads = _load_docs(spark, args.files[n_seeds:], args.kmer_size)
         val = float(args.progressive)
         scoring = (
             ScoringConfig(method="minmatchlen", min_match_len=int(val),

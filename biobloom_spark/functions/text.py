@@ -65,6 +65,34 @@ def frame_count(n_tokens: int, w: int) -> int:
     return max(0, n_tokens - w + 1)
 
 
+def _window_distinct_lt(codes: np.ndarray, w: int, min_distinct: int) -> np.ndarray:
+    """True where the length-``w`` window starting at each position holds
+    fewer than ``min_distinct`` distinct code values.
+
+    Vectorized: position ``i`` of a window contributes a new distinct value
+    iff it differs from every earlier position — O(w²) sliced vector
+    comparisons, no per-window Python (w is small: the shingle width).
+    """
+    n = codes.shape[0] - w + 1
+    if n <= 0:
+        return np.zeros(max(n, 0), dtype=bool)
+    if min_distinct <= 1:
+        return np.zeros(n, dtype=bool)
+    distinct = np.ones(n, dtype=np.int32)
+    new_i = np.empty(n, dtype=bool)
+    for i in range(1, w):
+        new_i[:] = True
+        for j in range(i):
+            new_i &= codes[j : n + j] != codes[i : n + i]
+        distinct += new_i
+        if i >= min_distinct - 1:
+            # early exit: windows that already reached min_distinct can't
+            # drop back; only continue if some window is still short
+            if distinct.min() >= min_distinct:
+                return np.zeros(n, dtype=bool)
+    return distinct < min_distinct
+
+
 def dust_mask(tokens: list[str], w: int, min_distinct: int = 2) -> np.ndarray:
     """Boolean mask over shingle positions; True = low-complexity (masked).
 
@@ -75,13 +103,33 @@ def dust_mask(tokens: list[str], w: int, min_distinct: int = 2) -> np.ndarray:
     n = frame_count(len(tokens), w)
     if n == 0:
         return np.zeros(0, dtype=bool)
-    mask = np.zeros(n, dtype=bool)
     if min_distinct <= 1:
-        return mask
-    for i in range(n):
-        if len(set(tokens[i : i + w])) < min_distinct:
-            mask[i] = True
-    return mask
+        return np.zeros(n, dtype=bool)
+    import pandas as pd
+
+    codes, _ = pd.factorize(np.asarray(tokens, dtype=object))
+    return _window_distinct_lt(codes, w, min_distinct)
+
+
+def flat_dust_mask(
+    token_hashes: np.ndarray,
+    token_counts: np.ndarray,
+    w: int,
+    min_distinct: int = 2,
+) -> np.ndarray:
+    """Batch DUST mask over the flat token-hash array (the categorizer's
+    hot -D path): one vectorized distinct-count pass over all windows, then
+    the per-doc valid windows selected exactly as ``flat_shingle_hashes``
+    selects frames.  Token equality is judged on 64-bit hashes (collision
+    odds ≈ w²/2⁶⁵ per window — immaterial for a masking heuristic).
+    """
+    from ..sketch.hashing import flat_valid_windows
+
+    valid, offsets = flat_valid_windows(np.asarray(token_counts, np.int64), w)
+    if offsets[-1] == 0:
+        return np.zeros(0, dtype=bool)
+    lt = _window_distinct_lt(token_hashes, w, min_distinct)
+    return lt[valid]
 
 
 def doc_shingle_hashes(
@@ -103,14 +151,37 @@ def batch_doc_shingles(
     every doc's tokens hashed flat in one pass, windows crossing doc
     boundaries masked — output identical to per-doc ``doc_shingle_hashes``.
     """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..sketch.hashing import hash_unique_tokens
+
     if cache is None:
         cache = {}
-    all_tokens: list[str] = []
-    counts = np.empty(len(texts), dtype=np.int64)
-    for i, text in enumerate(texts):
-        toks = (text or "").split()
-        counts[i] = len(toks)
-        all_tokens.extend(toks)
-    token_hashes = hash_tokens(all_tokens, cache)
+    # tokenize + flatten + unique-encode entirely in Arrow C kernels: the
+    # full token stream never exists as Python objects.  Only the *unique*
+    # tokens (small and zipf-headed in web text) cross into Python, to be
+    # hashed/cached.  Whitespace-split semantics match str.split() except
+    # that Arrow emits "" tokens at string edges — filtered below.
+    arr = pa.array(texts, type=pa.string(), from_pandas=True)
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")
+    sp = pc.utf8_split_whitespace(arr)
+    flat = pc.list_flatten(sp)
+    counts = np.diff(np.asarray(sp.offsets, dtype=np.int64))
+    enc = pc.dictionary_encode(flat)
+    codes = np.asarray(enc.indices)
+    uniques = enc.dictionary.to_numpy(zero_copy_only=False)
+    uniq_hashes = hash_unique_tokens(uniques, cache)
+    empty_pos = np.flatnonzero(uniques == "")
+    if empty_pos.size:
+        # drop edge-whitespace "" tokens; every split list is non-empty
+        # ("" splits to [""]), so reduceat segments are well-formed
+        drop = codes == empty_pos[0]
+        counts = counts - np.add.reduceat(
+            drop.astype(np.int64), np.cumsum(counts) - counts
+        )
+        codes = codes[~drop]
+    token_hashes = uniq_hashes[codes]
     frame_hashes, frame_offsets = flat_shingle_hashes(token_hashes, counts, w)
     return frame_hashes, frame_offsets, token_hashes, counts

@@ -110,13 +110,21 @@ def _minhash_batch(texts, w: int, num_perm: int, cache: dict) -> np.ndarray:
     rng_a = splitmix64(np.arange(1, num_perm + 1, dtype=_U64) * _U64(0x9E3779B97F4A7C15)) | _U64(1)
     rng_b = splitmix64(np.arange(1, num_perm + 1, dtype=_U64) ^ _U64(0xDEADBEEFCAFEBABE))
     sig = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=_U64)
-    for i in range(n):
-        seg = hashes[offsets[i] : offsets[i + 1]]
-        if seg.size == 0:
-            continue
-        # (p, s) = a[:,None]*seg + b → min over s
-        vals = (rng_a[:, None] * seg[None, :] + rng_b[:, None])  # wraps mod 2^64
-        sig[i] = vals.min(axis=1)
+    if hashes.size == 0:
+        return sig
+    # one affine pass per permutation over the FLAT shingle array +
+    # minimum.reduceat at doc starts — no per-doc Python.  Empty docs are
+    # excluded from the reduceat index list (their sig rows stay at the
+    # uint64-max sentinel); a non-empty doc's segment then still ends at
+    # the next listed start, because the skipped docs are zero-width.
+    seg_sizes = np.diff(offsets)
+    nonempty = np.flatnonzero(seg_sizes > 0)
+    starts = offsets[:-1][nonempty]
+    buf = np.empty(hashes.size, dtype=_U64)
+    for p in range(num_perm):
+        np.multiply(hashes, rng_a[p], out=buf)  # wraps mod 2^64
+        buf += rng_b[p]
+        sig[nonempty, p] = np.minimum.reduceat(buf, starts)
     return sig
 
 

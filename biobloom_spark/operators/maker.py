@@ -61,7 +61,12 @@ from ..sketch import (
     optimal_size_bits,
     resolve_block_layout,
 )
-from ..sources.tables import LINEAGE_SCHEMA, PARTIAL_SCHEMA, REGISTRY_SCHEMA
+from ..sources.tables import (
+    LINEAGE_SCHEMA,
+    PARTIAL_SCHEMA,
+    REGISTRY_LAYOUT_VERSION,
+    REGISTRY_SCHEMA,
+)
 
 __all__ = ["size_filters", "build_filters", "load_registry"]
 
@@ -515,6 +520,7 @@ def _assemble_fn(params: BloomParams, build: BuildConfig, pinned: dict | None):
         return pd.DataFrame(
             {
                 "filter_id": [fid],
+                "layout_version": [REGISTRY_LAYOUT_VERSION],
                 "m_bits": [m_bits],
                 "num_hashes": [h],
                 "block_bits": [bb],
@@ -637,6 +643,7 @@ def _merge_partials_fn(sizing: dict, out_schema, final: bool, params: BloomParam
         return pd.DataFrame(
             {
                 **common,
+                "layout_version": [REGISTRY_LAYOUT_VERSION],
                 "m_bits": [m],
                 "num_hashes": [h],
                 "block_bits": [bb],
@@ -869,6 +876,22 @@ def load_registry(registry_df: DataFrame, order: Iterable[str] | None = None) ->
     out = []
     for fid in ids:
         r = rows[fid]
+        lv = r.get("layout_version")
+        if lv is not None and int(lv) != REGISTRY_LAYOUT_VERSION:
+            raise ValueError(
+                f"registry row '{fid}' has probe-layout version {lv}; this "
+                f"engine probes layout {REGISTRY_LAYOUT_VERSION} — rebuild "
+                "the filter (stale registries return wrong membership)"
+            )
+        if lv is None and "layout_version" not in r:
+            import warnings
+
+            warnings.warn(
+                f"registry row '{fid}' predates layout versioning; probe "
+                "results are only valid if it was built by this engine "
+                f"version (layout {REGISTRY_LAYOUT_VERSION})",
+                stacklevel=2,
+            )
         so = r.get("seg_offsets")
         out.append(
             {

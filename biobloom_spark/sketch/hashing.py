@@ -99,6 +99,31 @@ def hash_str_array(strs) -> np.ndarray:
 _CACHE_MAX = 1 << 22
 
 
+def hash_unique_tokens(uniques, cache: dict | None = None) -> np.ndarray:
+    """Hash an array of *unique* str tokens → uint64 array, consulting the
+    worker-lifetime cache so only cache-missing uniques hit the hasher."""
+    uniq_hashes = np.empty(len(uniques), dtype=np.uint64)
+    if cache is None:
+        uniq_hashes[:] = hash_str_array(uniques)
+        return uniq_hashes
+    get = cache.get
+    missing: list[str] = []
+    missing_pos: list[int] = []
+    for k, t in enumerate(uniques):
+        hv = get(t)
+        if hv is None:
+            missing.append(t)
+            missing_pos.append(k)
+        else:
+            uniq_hashes[k] = hv
+    if missing:
+        mh = hash_str_array(missing)
+        uniq_hashes[missing_pos] = mh
+        if len(cache) < _CACHE_MAX:
+            cache.update(zip(missing, mh.tolist()))
+    return uniq_hashes
+
+
 def hash_tokens(tokens, cache: dict | None = None) -> np.ndarray:
     """Hash an iterable of str tokens → uint64 array.
 
@@ -115,26 +140,7 @@ def hash_tokens(tokens, cache: dict | None = None) -> np.ndarray:
     codes, uniques = pd.factorize(
         tokens if isinstance(tokens, np.ndarray) else np.asarray(tokens, dtype=object)
     )
-    uniq_hashes = np.empty(len(uniques), dtype=np.uint64)
-    if cache is None:
-        uniq_hashes[:] = hash_str_array(uniques)
-    else:
-        get = cache.get
-        missing: list[str] = []
-        missing_pos: list[int] = []
-        for k, t in enumerate(uniques):
-            hv = get(t)
-            if hv is None:
-                missing.append(t)
-                missing_pos.append(k)
-            else:
-                uniq_hashes[k] = hv
-        if missing:
-            mh = hash_str_array(missing)
-            uniq_hashes[missing_pos] = mh
-            if len(cache) < _CACHE_MAX:
-                cache.update(zip(missing, mh.tolist()))
-    return uniq_hashes[codes]
+    return hash_unique_tokens(uniques, cache)[codes]
 
 
 def shingle_hashes(token_hashes: np.ndarray, w: int) -> np.ndarray:
@@ -155,6 +161,32 @@ def shingle_hashes(token_hashes: np.ndarray, w: int) -> np.ndarray:
     return splitmix64(acc)
 
 
+def flat_valid_windows(
+    token_counts: np.ndarray, w: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc valid window start positions over a flat token array.
+
+    Returns ``(valid, frame_offsets)``: ``valid`` holds the flat token
+    indices where a w-window starts without crossing a document boundary
+    (doc i's windows are ``valid[frame_offsets[i]:frame_offsets[i+1]]``).
+    Pure vector arithmetic (ramp trick), no Python loop.
+    """
+    token_counts = np.asarray(token_counts, dtype=np.int64)
+    frames = np.maximum(0, token_counts - (w - 1))
+    offsets = np.zeros(token_counts.size + 1, dtype=np.int64)
+    np.cumsum(frames, out=offsets[1:])
+    total = int(offsets[-1])
+    if total == 0:
+        return np.empty(0, dtype=np.int64), offsets
+    # valid window start positions (flat token index) per doc:
+    # tok_start[i] .. tok_start[i] + frames[i] - 1
+    tok_start = np.zeros(token_counts.size, dtype=np.int64)
+    np.cumsum(token_counts[:-1], out=tok_start[1:])
+    doc_of_frame = np.repeat(np.arange(token_counts.size), frames)
+    within = np.arange(total) - np.repeat(offsets[:-1], frames)
+    return tok_start[doc_of_frame] + within, offsets
+
+
 def flat_shingle_hashes(
     token_hashes: np.ndarray, token_counts: np.ndarray, w: int
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -167,27 +199,13 @@ def flat_shingle_hashes(
     boundary are dropped.  Identical output to per-doc ``shingle_hashes``
     (same polynomial over the same w tokens), ~10x faster on small docs.
     """
-    token_counts = np.asarray(token_counts, dtype=np.int64)
+    valid, offsets = flat_valid_windows(token_counts, w)
     n = token_hashes.shape[0]
-    frames = np.maximum(0, token_counts - (w - 1))
-    offsets = np.zeros(token_counts.size + 1, dtype=np.int64)
-    np.cumsum(frames, out=offsets[1:])
-    if n < w:
+    if n < w or int(offsets[-1]) == 0:
         return np.empty(0, dtype=np.uint64), offsets
     acc = np.zeros(n - w + 1, dtype=np.uint64)
     for j in range(w):
         acc = (acc * POLY_BASE + token_hashes[j : n - w + 1 + j]) & _MASK64
-    # valid window start positions (flat token index) per doc:
-    # tok_start[i] .. tok_start[i] + frames[i] - 1
-    tok_start = np.zeros(token_counts.size, dtype=np.int64)
-    np.cumsum(token_counts[:-1], out=tok_start[1:])
-    total = int(offsets[-1])
-    if total == 0:
-        return np.empty(0, dtype=np.uint64), offsets
-    # ramp trick: flat valid indices without a python loop
-    doc_of_frame = np.repeat(np.arange(token_counts.size), frames)
-    within = np.arange(total) - np.repeat(offsets[:-1], frames)
-    valid = tok_start[doc_of_frame] + within
     return splitmix64(acc[valid]), offsets
 
 

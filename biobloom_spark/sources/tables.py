@@ -34,9 +34,19 @@ TABLE_NAMES = (
     "embeddings",
 )
 
+#: probe-layout version stamped into every registry row.  Bump whenever the
+#: bit layout or probe math changes incompatibly (v2 = h2 offset slices from
+#: bit 4 + fastrange word selection, the round-2 layout).  ``load_registry``
+#: refuses rows with a different version — a registry parquet written by an
+#: older engine would otherwise silently return wrong membership.
+REGISTRY_LAYOUT_VERSION = 2
+
 REGISTRY_SCHEMA = T.StructType(
     [
         T.StructField("filter_id", T.StringType(), False),
+        # probe-layout version (see REGISTRY_LAYOUT_VERSION); nullable so
+        # pre-versioning parquets still load (with a warning)
+        T.StructField("layout_version", T.IntegerType(), True),
         # [user_input_options] analog (BloomFilterInfo.cpp:81-97)
         T.StructField("m_bits", T.LongType(), False),
         T.StructField("num_hashes", T.IntegerType(), False),

@@ -84,11 +84,14 @@ def dedup_stream(
     """Stateful streaming exact-dedup: keep the first arrival of each
     content hash within the watermark horizon.
 
-    ``dropDuplicates`` on the content hash is Spark's built-in keyed state
-    store (RocksDB-backed on a real cluster); the watermark bounds state so
-    a 10^12-page crawl stream doesn't accumulate unbounded hashes — late
-    duplicates beyond the horizon re-emerge, the standard
-    bounded-state/completeness trade.
+    ``dropDuplicatesWithinWatermark`` on the content hash is Spark's
+    built-in keyed state store (RocksDB-backed on a real cluster) with
+    watermark-driven eviction: a hash's state is dropped once the watermark
+    passes its arrival event time, so a 10^12-page crawl stream never
+    accumulates unbounded hashes.  (Plain ``dropDuplicates`` on a non
+    event-time subset would keep every key forever.)  Late duplicates
+    beyond the horizon re-emerge — the standard bounded-state/completeness
+    trade.
     """
     from pyspark.sql import functions as F
 
@@ -97,6 +100,6 @@ def dedup_stream(
     return (
         stream.withColumn("__h", F.xxhash64(F.col(text_col)))
         .withWatermark(ts_col, watermark)
-        .dropDuplicates(["__h"])
+        .dropDuplicatesWithinWatermark(["__h"])
         .drop("__h")
     )

@@ -67,6 +67,38 @@ class TestTokenizeShingle:
         assert not m[2]  # (a,b,c) is fine
         assert m.size == 4
 
+    def test_dust_mask_matches_loop_reference(self):
+        # vectorized windowed-distinct == the literal per-window set() loop
+        rng = np.random.default_rng(11)
+        for w in (2, 3, 4, 5):
+            for min_distinct in (1, 2, 3, w):
+                toks = [f"t{v}" for v in rng.integers(0, 4, size=200)]
+                got = dust_mask(toks, w, min_distinct)
+                n = max(0, len(toks) - w + 1)
+                want = np.array(
+                    [len(set(toks[i : i + w])) < min_distinct for i in range(n)],
+                    dtype=bool,
+                )
+                assert np.array_equal(got, want), (w, min_distinct)
+
+    def test_flat_dust_mask_matches_per_doc(self):
+        from biobloom_spark.functions.text import flat_dust_mask
+        from biobloom_spark.sketch.hashing import hash_tokens
+
+        rng = np.random.default_rng(5)
+        docs = [
+            [f"t{v}" for v in rng.integers(0, 3, size=rng.integers(0, 30))]
+            for _ in range(40)
+        ]
+        w, md = 3, 2
+        per_doc = np.concatenate(
+            [dust_mask(toks, w, md) for toks in docs] or [np.zeros(0, bool)]
+        )
+        flat_tokens = [t for toks in docs for t in toks]
+        counts = np.array([len(toks) for toks in docs], dtype=np.int64)
+        got = flat_dust_mask(hash_tokens(flat_tokens), counts, w, md)
+        assert np.array_equal(got, per_doc)
+
 
 class TestCorpus:
     def test_generation_is_pure_function_of_seed_and_id(self):

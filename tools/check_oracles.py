@@ -46,6 +46,8 @@ def main() -> int:
             con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if len(sys.argv) > 1:  # optional: check only the named queries
+        qs = {k: v for k, v in qs.items() if k in sys.argv[1:]}
     failures = 0
     for name, fn in qs.items():
         sdf = fn(spark, SF_DIR)
