@@ -18,9 +18,11 @@ Reference lifecycle:
 
 Spark shape mirrors the plain-Bloom jobs: the claims pass is mapInPandas
 over the corpus partitions (zero shuffle — only sparse claim blobs move),
-ownership resolves by an associative min-tiebreak merge, saturation is a
-second broadcast pass, and classification is one broadcast + mapInPandas
-pass over the (much larger) query corpus.
+ownership resolves by an associative min-tiebreak merge in one reducer
+per slot-range segment (the driver only memcpy-assembles resolved uint16
+slices — claim-cardinality data never lands on the driver), saturation is
+a second broadcast pass with per-segment dedup, and classification is one
+broadcast + mapInPandas pass over the (much larger) query corpus.
 """
 
 from __future__ import annotations
@@ -38,6 +40,7 @@ from ..config import MULTI_MATCH, NO_MATCH
 from ..functions.stats import log_binom_sf
 from ..functions.text import batch_doc_shingles
 from ..sketch.mibf import (
+    MAX_LABELS,
     MIBFClaims,
     MIBFSketch,
     flat_seed_hashes,
@@ -52,10 +55,31 @@ __all__ = [
 
 _CLAIMS_SCHEMA = T.StructType(
     [
-        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("seg", T.IntegerType(), False),
         T.StructField("payload", T.BinaryType(), False),
     ]
 )
+
+_SEG_IDS_SCHEMA = T.StructType(
+    [
+        T.StructField("seg", T.IntegerType(), False),
+        T.StructField("ids", T.BinaryType(), False),
+    ]
+)
+
+_SAT_SCHEMA = T.StructType(
+    [
+        T.StructField("seg", T.IntegerType(), False),
+        T.StructField("slots", T.BinaryType(), False),
+    ]
+)
+
+
+def _seg_bounds(m_slots: int, n_segments: int) -> np.ndarray:
+    """Slot-range segment boundaries: int64[n_segments+1], segment s spans
+    ``[bounds[s], bounds[s+1])``.  Proportional split — claim slots are
+    uniform over [0, m) so segments load-balance."""
+    return (np.arange(n_segments + 1, dtype=np.int64) * m_slots) // n_segments
 
 
 def _frame_hash_rows(texts, labels_idx, w: int, seeds, cache: dict):
@@ -78,7 +102,7 @@ def build_mibf(
     occupancy: float = 0.5,
     seeds: list[str] | None = None,
     expected_entries: int | None = None,
-    merge_groups: int = 8,
+    merge_segments: int = 16,
 ) -> MIBFSketch:
     """Build one miBF over all values of ``key_col`` (labels).
 
@@ -86,12 +110,17 @@ def build_mibf(
     1. sizing: frames upper bound → slots for the target occupancy
        (``-b``, default 0.5) — the reference's ``-n``/file-size estimate;
     2. claims: every (label, frame) claims its h probe slots with a
-       deterministic pseudo-random tiebreak; per-partition sparse claim
-       sets merge associatively (fan-in bounded by ``merge_groups``);
+       deterministic pseudo-random tiebreak; map tasks split their sparse
+       claim sets by slot range into ``merge_segments`` segments and one
+       reducer per segment resolves ownership to a uint16 id slice — the
+       driver only memcpy-assembles slices (never touches claim blobs),
+       mirroring the Bloom build's segmented merge (maker._assemble_fn);
     3. saturation: frames whose label lost every slot mark those slots
-       saturated (insertSaturation analog).
+       saturated (insertSaturation analog) — lost-slot sets are likewise
+       deduped per segment in reducers before the driver ORs the bit.
     The corpus is read twice and never shuffled; only sparse claim blobs
-    move.  Labels are capped at 32767 (Doc/MultiIndex.md:165).
+    move, and no claim-cardinality data structure ever lands on the
+    driver.  Labels are capped at 32767 (Doc/MultiIndex.md:165).
     """
     from ..session import ensure_workers
 
@@ -113,14 +142,16 @@ def build_mibf(
         )
     m_slots = mibf_size_slots(expected_entries, h, occupancy)
 
+    if len(labels) > MAX_LABELS:
+        raise ValueError(f"miBF supports at most {MAX_LABELS} labels")
+    S = max(1, int(merge_segments))
+    bounds = _seg_bounds(m_slots, S)
     bc_map = spark.sparkContext.broadcast(label_to_idx)
     base = docs.select(
         F.col(key_col).cast("string").alias("__label"), F.col(text_col).alias("__text")
     )
 
     def claims_pass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
         lmap = bc_map.value
         cache: dict = {}
         acc = MIBFClaims()
@@ -141,34 +172,40 @@ def build_mibf(
                 acc = acc.merge(MIBFClaims.from_positions(pos, li))
         if acc.slots.size == 0:
             return
-        ctx = TaskContext.get()
-        bucket = int(ctx.partitionId()) if ctx is not None else 0
-        yield pd.DataFrame({"bucket": [bucket], "payload": [acc.serialize()]})
+        # slots are sorted: one searchsorted splits the partial by segment
+        cut = np.searchsorted(acc.slots, bounds)
+        out_seg, out_pl = [], []
+        for s in range(S):
+            lo, hi = int(cut[s]), int(cut[s + 1])
+            if hi > lo:
+                out_seg.append(s)
+                out_pl.append(MIBFClaims(acc.slots[lo:hi], acc.ties[lo:hi]).serialize())
+        yield pd.DataFrame({"seg": out_seg, "payload": out_pl})
 
     partials = base.mapInPandas(claims_pass, schema=_CLAIMS_SCHEMA)
 
-    def merge_blobs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def resolve_seg(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        """One reducer per slot-range segment: merge that segment's claims
+        (associative min-tiebreak) and emit the resolved uint16 id slice."""
+        s = int(key[0])
         acc = MIBFClaims()
         for p in pdf["payload"]:
             acc = acc.merge(MIBFClaims.deserialize(bytes(p)))
-        return pd.DataFrame({"bucket": [int(key[0])], "payload": [acc.serialize()]})
+        lo, hi = int(bounds[s]), int(bounds[s + 1])
+        ids_seg = np.zeros(hi - lo, dtype=np.uint16)
+        ids_seg[acc.slots - lo] = acc.owners()
+        return pd.DataFrame({"seg": [s], "ids": [ids_seg.tobytes()]})
 
-    g = max(1, merge_groups)
-    level1 = (
-        partials.withColumn("bucket", F.pmod(F.col("bucket"), F.lit(g)).cast("int"))
-        .groupBy("bucket")
-        .applyInPandas(merge_blobs, schema=_CLAIMS_SCHEMA)
-        .collect()
-    )
-    final = MIBFClaims()
-    for row in level1:
-        final = final.merge(MIBFClaims.deserialize(bytes(row["payload"])))
-    sketch = MIBFSketch.from_claims(final, m_slots, h, shingle_w, labels, seed_arr)
+    ids = np.zeros(m_slots, dtype=np.uint16)
+    for r in partials.groupBy("seg").applyInPandas(
+        resolve_seg, schema=_SEG_IDS_SCHEMA
+    ).collect():
+        s = int(r["seg"])
+        ids[bounds[s] : bounds[s + 1]] = np.frombuffer(bytes(r["ids"]), dtype=np.uint16)
+    sketch = MIBFSketch(m_slots, h, shingle_w, labels, ids, seed_arr)
 
     # --- saturation pass (insertSaturation, MIBFGen.hpp:196-223) ----------
     bc_ids = spark.sparkContext.broadcast(sketch.serialize())
-
-    sat_schema = T.StructType([T.StructField("slots", T.BinaryType(), False)])
 
     def sat_pass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         lmap = bc_map.value
@@ -192,18 +229,32 @@ def build_mibf(
                 if lost.any():
                     sat.append(np.unique(pos[:, lost]))
         if sat:
-            yield pd.DataFrame(
-                {"slots": [np.unique(np.concatenate(sat)).tobytes()]}
-            )
+            allsat = np.unique(np.concatenate(sat))
+            cut = np.searchsorted(allsat, bounds)
+            out_seg, out_sl = [], []
+            for s in range(S):
+                lo, hi = int(cut[s]), int(cut[s + 1])
+                if hi > lo:
+                    out_seg.append(s)
+                    out_sl.append(allsat[lo:hi].tobytes())
+            yield pd.DataFrame({"seg": out_seg, "slots": out_sl})
 
-    sat_rows = base.mapInPandas(sat_pass, schema=sat_schema).collect()
-    if sat_rows:
-        all_sat = np.unique(
+    def sat_reduce(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        """Dedup one segment's lost slots before they reach the driver."""
+        u = np.unique(
             np.concatenate(
-                [np.frombuffer(bytes(r["slots"]), dtype=np.int64) for r in sat_rows]
+                [np.frombuffer(bytes(p), dtype=np.int64) for p in pdf["slots"]]
             )
         )
-        sketch.apply_saturation(all_sat)
+        return pd.DataFrame({"seg": [int(key[0])], "slots": [u.tobytes()]})
+
+    for r in (
+        base.mapInPandas(sat_pass, schema=_SAT_SCHEMA)
+        .groupBy("seg")
+        .applyInPandas(sat_reduce, schema=_SAT_SCHEMA)
+        .collect()
+    ):
+        sketch.apply_saturation(np.frombuffer(bytes(r["slots"]), dtype=np.int64))
     return sketch
 
 

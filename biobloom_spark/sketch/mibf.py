@@ -188,6 +188,11 @@ class MIBFClaims:
         first[1:] = allslots[1:] != allslots[:-1]
         return MIBFClaims(allslots[first], allties[first])
 
+    def owners(self) -> np.ndarray:
+        """Winning label index per claimed slot (uint16, parallel to
+        ``slots``) — the resolved ownership this claim set encodes."""
+        return (self.ties & _TIE_LABEL_MASK).astype(np.uint16)
+
     def serialize(self) -> bytes:
         return zlib.compress(self.slots.tobytes() + self.ties.tobytes(), 1)
 

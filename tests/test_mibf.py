@@ -75,6 +75,35 @@ class TestSketch:
         b = build_mibf(spark, labeled_corpus.repartition(7), key_col="lang")
         assert a.serialize() == b.serialize()
 
+    def test_segmented_resolution_matches_local_twin(self, spark, labeled_corpus):
+        """Distributed per-segment ownership == single-machine from_claims
+        over the same claims (segment count must not affect the result)."""
+        from biobloom_spark.functions.text import batch_doc_shingles
+        from biobloom_spark.sketch.mibf import MIBFSketch
+
+        sk1 = build_mibf(spark, labeled_corpus, key_col="lang", merge_segments=1)
+        sk5 = build_mibf(spark, labeled_corpus, key_col="lang", merge_segments=5)
+        assert sk1.serialize() == sk5.serialize()
+        # local twin: resolve every claim on the driver via from_claims
+        rows = labeled_corpus.select("lang", "text").collect()
+        labels = sorted({r["lang"] for r in rows})
+        acc = MIBFClaims()
+        probe = MIBFSketch(sk1.m_slots, sk1.num_hashes, sk1.shingle_w, [],
+                           np.zeros(0, dtype=np.uint16))
+        for li, lab in enumerate(labels, start=1):
+            texts = np.array([r["text"] for r in rows if r["lang"] == lab])
+            frames, _o, _t, _c = batch_doc_shingles(texts, sk1.shingle_w)
+            acc = acc.merge(
+                MIBFClaims.from_positions(probe.positions_for(frames), li)
+            )
+        local = MIBFSketch.from_claims(
+            acc, sk1.m_slots, sk1.num_hashes, sk1.shingle_w, labels
+        )
+        # pre-saturation ownership must agree exactly
+        from biobloom_spark.sketch.mibf import ID_MASK as _IDM
+
+        assert np.array_equal(sk1.ids & _IDM, local.ids & _IDM)
+
     def test_one_id_per_slot_uint16(self, mibf):
         assert mibf.ids.dtype == np.uint16
         occupied = mibf.ids[mibf.ids != 0]
