@@ -22,10 +22,13 @@ invocations against the Spark engine:
 - categorizer accepts both registry parquet paths and ``.bf`` prefixes
   in ``-f``, writes ``<prefix>_summary.tsv`` and demultiplexed outputs.
 
-Differences, stated rather than hidden: hashing is the engine's
-FNV/splitmix family (a reference-built ``.bf`` cannot be *probed*, only
-containers round-trip — bf_format docstring); ``-t`` maps to
-``local[N]`` cores here and executors under spark-submit.
+Differences, stated rather than hidden: native hashing is the engine's
+FNV/splitmix family; a reference-built ``.bf`` given to ``-f`` is probed
+via the published ntHash NTC64/NTM64 recurrence (sketch.nthash —
+reimplemented from the paper; the vendored btl_bloomfilter submodule is
+absent from the checkout, so bit-compat is per published spec).  Maker
+``--nthash`` builds filters in that family.  ``-t`` maps to ``local[N]``
+cores here and executors under spark-submit.
 """
 
 from __future__ import annotations
@@ -111,6 +114,8 @@ def _write_filter_dicts_as_registry(spark, filters: list[dict], path: str) -> No
                 f["filter_id"], REGISTRY_LAYOUT_VERSION,
                 int(f["m_bits"]), int(f["num_hashes"]),
                 int(f.get("block_bits", 0)), int(f["shingle_w"]),
+                bool(f.get("canonical", False)),
+                f.get("hash_family", "poly"),
                 float(f.get("target_fpr", 0.0)),
                 int(f.get("expected_entries", 0)), 0, 0,
                 int(f.get("num_entries", 0)), 0,
@@ -157,6 +162,14 @@ def _cmd_maker(argv: list[str]) -> int:
                     help="progressive mode: first N files are seeds "
                     "(default 0 = auto: non-FASTQ files are seeds, "
                     "FASTQ files are reads; at least one of each)")
+    ap.add_argument("--no-canonical", action="store_true",
+                    help="FASTA/FASTQ mode: hash k-mers forward-strand only "
+                    "(default hashes canonically — a k-mer and its reverse "
+                    "complement match, like the reference's ntHash)")
+    ap.add_argument("--nthash", action="store_true",
+                    help="hash with the published ntHash NTC64/NTM64 family "
+                    "(probe-compatible with reference-built .bf filters; "
+                    "implies --classic; canonical by construction)")
     args = ap.parse_args(argv)
     if args.num_ele and args.key_col:
         # -n pins one sizing dict keyed by the file prefix, but --key-col
@@ -173,11 +186,14 @@ def _cmd_maker(argv: list[str]) -> int:
     from .sources.bf_format import registry_row_to_bf
 
     spark = _spark(args.threads)
+    dna_mode = not all(_is_parquet(f) for f in args.files)
     params = BloomParams(
         fpr=args.fal_pos_rate,
         num_hashes=args.hash_num,
         shingle_w=args.kmer_size,
-        block_bits=0 if args.classic else 64,
+        block_bits=0 if (args.classic or args.nthash) else 64,
+        canonical=dna_mode and not args.no_canonical and not args.nthash,
+        hash_family="nthash" if args.nthash else "poly",
     )
     subtract = None
     if args.subtract:

@@ -51,6 +51,22 @@ class BloomParams:
     #: hard cap on a single filter's bit size (broadcast budget guard;
     #: 2^33 bits = 1 GiB bitmap)
     max_bits: int = 1 << 33
+    #: strand-canonical frame hashing (DNA mode): hash(frame) ==
+    #: hash(revcomp(frame)), the reference's ntHash canonical semantics
+    #: (/root/reference/Tests/ntHashTests.cpp:20-41).  Off for webtext.
+    canonical: bool = False
+    #: frame-hash family: "poly" = native polynomial shingles (any token
+    #: stream); "nthash" = published ntHash NTC64/NTM64 over DNA bases
+    #: (.bf probe interop with reference-built filters; implies the
+    #: classic layout and canonical-by-construction hashing)
+    hash_family: str = "poly"
+
+    def __post_init__(self) -> None:
+        if self.hash_family not in ("poly", "nthash"):
+            raise ValueError(f"unknown hash family {self.hash_family!r}")
+        if self.hash_family == "nthash" and self.block_bits != 0:
+            raise ValueError("hash_family='nthash' requires block_bits=0 "
+                             "(the reference's classic layout)")
 
 
 @dataclass(frozen=True)

@@ -132,6 +132,31 @@ def flat_dust_mask(
     return lt[valid]
 
 
+def batch_frames(
+    texts,
+    w: int,
+    cache: dict | None = None,
+    canonical: bool = False,
+    hash_family: str = "poly",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Family dispatch for the frame hasher.
+
+    "poly" → ``batch_doc_shingles`` (native polynomial token shingles);
+    "nthash" → published ntHash NTC64 k-mers over the de-spaced character
+    sequence (DNA ``.bf`` interop; canonical by construction).  Same
+    4-tuple shape; in nthash mode ``token_hashes`` is empty and
+    ``token_counts`` holds base counts (read lengths).
+    """
+    if hash_family == "nthash":
+        from ..sketch.nthash import batch_ntc64
+
+        seqs = [(t or "").replace(" ", "") for t in texts]
+        frames, offsets = batch_ntc64(seqs, w)
+        lens = np.fromiter((len(s) for s in seqs), dtype=np.int64, count=len(seqs))
+        return frames, offsets, np.empty(0, dtype=np.uint64), lens
+    return batch_doc_shingles(texts, w, cache, canonical)
+
+
 def doc_shingle_hashes(
     text: str, w: int, cache: dict | None = None
 ) -> np.ndarray:
@@ -142,14 +167,30 @@ def doc_shingle_hashes(
     return shingle_hashes(hash_tokens(toks, cache), w)
 
 
+#: DNA complement for canonical hashing (non-ACGT characters, e.g. N,
+#: complement to themselves — the reference's ambiguity handling)
+_DNA_COMP = str.maketrans("ACGTacgt", "TGCAtgca")
+
+
+def revcomp(token: str) -> str:
+    """Reverse-complement of a token string (identity on non-ACGT)."""
+    return token[::-1].translate(_DNA_COMP)
+
+
 def batch_doc_shingles(
-    texts, w: int, cache: dict | None = None
+    texts, w: int, cache: dict | None = None, canonical: bool = False
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Whole-batch shingling (the hot path for maker and categorizer).
 
     Returns (frame_hashes, frame_offsets, token_hashes, token_counts):
     every doc's tokens hashed flat in one pass, windows crossing doc
     boundaries masked — output identical to per-doc ``doc_shingle_hashes``.
+
+    ``canonical=True`` makes frame hashes strand-invariant (DNA mode:
+    hash(frame) == hash(revcomp(frame)), the reference's ntHash canonical
+    semantics) via ``canonical_flat_shingle_hashes``; the per-unique
+    revcomp-token hashing is negligible — DNA mode's unique-token set is
+    the base alphabet.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -183,5 +224,14 @@ def batch_doc_shingles(
         )
         codes = codes[~drop]
     token_hashes = uniq_hashes[codes]
-    frame_hashes, frame_offsets = flat_shingle_hashes(token_hashes, counts, w)
+    if canonical:
+        from ..sketch.hashing import canonical_flat_shingle_hashes
+
+        rc_uniq = np.array([revcomp(t) for t in uniques], dtype=object)
+        rc_token_hashes = hash_unique_tokens(rc_uniq, cache)[codes]
+        frame_hashes, frame_offsets = canonical_flat_shingle_hashes(
+            token_hashes, rc_token_hashes, counts, w
+        )
+    else:
+        frame_hashes, frame_offsets = flat_shingle_hashes(token_hashes, counts, w)
     return frame_hashes, frame_offsets, token_hashes, counts

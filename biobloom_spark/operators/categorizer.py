@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..config import MULTI_MATCH, NO_MATCH, CategorizerConfig
-from ..functions.text import batch_doc_shingles, flat_dust_mask
+from ..functions.text import batch_frames, flat_dust_mask
 from ..sketch import BloomSketch
 from ..sketch.hashing import km_probe
 from .scoring import SegmentedBatch, score_batch
@@ -53,14 +53,23 @@ def _result_schema(id_field: T.StructField) -> T.StructType:
 def _make_sketches(filters: list[dict]) -> list[BloomSketch]:
     """Zero-copy probe sketches over the broadcast bitmaps — built once per
     task, shared across Arrow batches."""
-    return [
-        BloomSketch.deserialize(
-            f["bitmap"], f["m_bits"], f["num_hashes"], copy=False,
-            block_bits=f.get("block_bits", 0),
-            seg_offsets=f.get("seg_offsets"),
+    out = []
+    for f in filters:
+        fam = f.get("hash_family", "poly")
+        kw = (
+            {"hash_family": "nthash", "nt_k": int(f["shingle_w"])}
+            if fam == "nthash"
+            else {}
         )
-        for f in filters
-    ]
+        out.append(
+            BloomSketch.deserialize(
+                f["bitmap"], f["m_bits"], f["num_hashes"], copy=False,
+                block_bits=f.get("block_bits", 0),
+                seg_offsets=f.get("seg_offsets"),
+                **kw,
+            )
+        )
+    return out
 
 
 def _score_texts(texts: np.ndarray, filters: list[dict], cfg: CategorizerConfig,
@@ -71,12 +80,26 @@ def _score_texts(texts: np.ndarray, filters: list[dict], cfg: CategorizerConfig,
     once; each filter then costs only its compacting probe sweeps.
     """
     w = filters[0]["shingle_w"]
+    canonical = bool(filters[0].get("canonical", False))
+    family = str(filters[0].get("hash_family", "poly"))
+    for f in filters:
+        if (bool(f.get("canonical", False)), str(f.get("hash_family", "poly"))) != (
+            canonical, family,
+        ):
+            raise ValueError(
+                "all filters in one categorize pass must share the canonical "
+                "mode and hash family (the batch is hashed once for all filters)"
+            )
     scoring = cfg.scoring
     if sketches is None:
         sketches = _make_sketches(filters)
-    hashes, offsets, _tok_h, tok_counts = batch_doc_shingles(texts, w, cache)
+    hashes, offsets, _tok_h, tok_counts = batch_frames(
+        texts, w, cache, canonical=canonical, hash_family=family
+    )
     mask = None
     if scoring.dust:
+        if family == "nthash":
+            raise ValueError("dust masking is not supported with the nthash family")
         # vectorized over the flat token-hash array the shingler already
         # built — no per-doc Python (VERDICT r2 "What's wrong" #3)
         mask = flat_dust_mask(_tok_h, tok_counts, w, scoring.dust_min_distinct)
@@ -84,9 +107,15 @@ def _score_texts(texts: np.ndarray, filters: list[dict], cfg: CategorizerConfig,
     n_docs = batch.n_docs
     scores = np.zeros((n_docs, len(filters)))
     matches = np.zeros((n_docs, len(filters)), dtype=bool)
-    h1, h2 = km_probe(hashes)
+    if family != "nthash":
+        h1, h2 = km_probe(hashes)
     for j, (flt, bloom) in enumerate(zip(filters, sketches)):
-        hit = bloom.contains_probe(h1, h2) if hashes.size else np.zeros(0, dtype=bool)
+        if hashes.size == 0:
+            hit = np.zeros(0, dtype=bool)
+        elif family == "nthash":
+            hit = bloom.contains_batch(hashes)  # NTM64 positions per filter
+        else:
+            hit = bloom.contains_probe(h1, h2)
         if mask is not None and hit.size:
             hit &= ~mask  # dust-masked frames are non-hits (SeqEval.h:496-508)
         s, m = score_batch(hit, batch, scoring, flt["fpr"], w)
@@ -138,6 +167,112 @@ def _assign(scores: np.ndarray, matches: np.ndarray, filter_ids: list[str], cfg:
     return hits_out, assigned, best, sel
 
 
+def _shard_filters(filters: list[dict], max_bytes: int) -> list[list[dict]]:
+    """Greedy contiguous sharding by bitmap bytes (contiguity preserves
+    filter order, so concatenated shard scores == single-pass scores)."""
+    shards: list[list[dict]] = [[]]
+    used = 0
+    for f in filters:
+        b = len(f["bitmap"])
+        if shards[-1] and used + b > max_bytes:
+            shards.append([])
+            used = 0
+        shards[-1].append(f)
+        used += b
+    return shards
+
+
+def _categorize_sharded(
+    spark: SparkSession,
+    docs: DataFrame,
+    shards: list[list[dict]],
+    cfg: CategorizerConfig,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Multi-pass evaluation for registries beyond the broadcast budget.
+
+    Pass s broadcasts only shard s's bitmaps and emits raw per-filter
+    (scores, matches) vectors — no assignment yet, because every mode's
+    decision (besthit argmax, multiMatch counting, ordered priority) needs
+    the FULL score row.  One groupBy on the doc id then stitches shard
+    vectors back into full rows and runs the normal ``_assign``.  Cost vs
+    single-pass: the corpus is scanned once per shard and one extra
+    shuffle keyed by doc id — the standard memory/IO trade.
+    """
+    all_ids = [f["filter_id"] for sh in shards for f in sh]
+    n_shards = len(shards)
+    id_field = docs.schema[id_col]
+    part_schema = T.StructType(
+        [
+            id_field,
+            T.StructField("__shard", T.IntegerType(), False),
+            T.StructField("n_frames", T.LongType(), False),
+            T.StructField("scores", T.ArrayType(T.DoubleType()), False),
+            T.StructField("matches", T.ArrayType(T.BooleanType()), False),
+        ]
+    )
+
+    def score_pass(shard: list[dict], si: int):
+        bc = spark.sparkContext.broadcast(shard)
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            flts = bc.value
+            sketches = _make_sketches(flts)
+            cache: dict = {}
+            for pdf in batches:
+                frames, scores, matches = _score_texts(
+                    pdf[text_col].to_numpy(), flts, cfg, cache, sketches
+                )
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy(),
+                        "__shard": si,
+                        "n_frames": frames,
+                        "scores": list(scores),
+                        "matches": list(matches),
+                    }
+                )
+
+        return docs.select(id_col, text_col).mapInPandas(run, schema=part_schema)
+
+    parts = score_pass(shards[0], 0)
+    for si in range(1, n_shards):
+        parts = parts.unionByName(score_pass(shards[si], si))
+
+    agg = parts.groupBy(id_col).agg(
+        F.max("n_frames").alias("n_frames"),
+        F.collect_list(F.struct("__shard", "scores", "matches")).alias("parts"),
+    )
+    schema = _result_schema(id_field)
+    shard_sizes = [len(sh) for sh in shards]
+
+    def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            scores = np.zeros((n, len(all_ids)))
+            matches = np.zeros((n, len(all_ids)), dtype=bool)
+            offs = np.concatenate(([0], np.cumsum(shard_sizes)))
+            for i, row_parts in enumerate(pdf["parts"]):
+                for p in row_parts:
+                    s = int(p["__shard"])
+                    scores[i, offs[s] : offs[s + 1]] = p["scores"]
+                    matches[i, offs[s] : offs[s + 1]] = p["matches"]
+            hits, assigned, best, _sel = _assign(scores, matches, all_ids, cfg)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "n_frames": pdf["n_frames"].to_numpy(),
+                    "scores": list(scores),
+                    "hits": hits,
+                    "assigned": assigned,
+                    "best_score": best,
+                }
+            )
+
+    return agg.mapInPandas(combine, schema=schema)
+
+
 def categorize(
     spark: SparkSession,
     docs: DataFrame,
@@ -145,6 +280,7 @@ def categorize(
     cfg: CategorizerConfig | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_broadcast_bytes: int | None = None,
 ) -> DataFrame:
     """Score + classify every document against every filter.
 
@@ -152,11 +288,24 @@ def categorize(
     order for ordered mode).  Returns (id, n_frames, scores, hits,
     assigned, best_score); join back to the input on ``id_col`` for
     pass-through columns (scoring itself never shuffles the corpus).
+
+    ``max_broadcast_bytes`` caps the bitmap bytes broadcast per pass: a
+    registry larger than the cap is evaluated in filter shards (each pass
+    broadcasts one shard, scores it shuffle-free, and a single groupBy on
+    ``id_col`` stitches the per-shard score vectors back together before
+    mode assignment) — the executor-memory escape hatch for very large
+    filter sets (SURVEY §7.4 risk).  None = single pass (default).
     """
     from ..session import ensure_workers
 
     ensure_workers(spark)
     cfg = cfg or CategorizerConfig()
+    if max_broadcast_bytes is not None:
+        shards = _shard_filters(filters, max_broadcast_bytes)
+        if len(shards) > 1:
+            return _categorize_sharded(
+                spark, docs, shards, cfg, id_col, text_col
+            )
     filter_ids = [f["filter_id"] for f in filters]
     bc = spark.sparkContext.broadcast(filters)
     id_field = docs.schema[id_col]

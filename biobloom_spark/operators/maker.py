@@ -48,7 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import BloomParams, BuildConfig
-from ..functions.text import batch_doc_shingles
+from ..functions.text import batch_frames
 from ..sketch import (
     BloomSketch,
     CountMinSketch,
@@ -212,6 +212,7 @@ def _build_partial_fn(sizing: dict, params: BloomParams, text_col: str, key_col:
         bloom = BloomSketch(
             m_bits=meta["m_bits"], num_hashes=meta["num_hashes"],
             block_bits=meta.get("block_bits", params.block_bits),
+            **_family_kwargs(params),
         )
         hll = HLLSketch(p=_HLL_P)
         cms = CountMinSketch(width=_CMS_W, depth=_CMS_D)
@@ -221,10 +222,12 @@ def _build_partial_fn(sizing: dict, params: BloomParams, text_col: str, key_col:
         if subtract_bits is not None:
             sm, sh_, sb, sseg = subtract_meta
             sub = BloomSketch.deserialize(
-                subtract_bits, sm, sh_, block_bits=sb, seg_offsets=sseg
+                subtract_bits, sm, sh_, block_bits=sb, seg_offsets=sseg,
+                **_family_kwargs(params),
             )
-        frames, _offs, tok_hashes, tok_counts = batch_doc_shingles(
-            pdf[text_col].to_numpy(), w
+        frames, _offs, tok_hashes, tok_counts = batch_frames(
+            pdf[text_col].to_numpy(), w, canonical=params.canonical,
+            hash_family=params.hash_family,
         )
         if sub is not None and frames.size:
             frames = frames[~sub.contains_batch(frames)]
@@ -261,6 +264,14 @@ _PARTIAL_COLS = [
     "filter_id", "bucket", "seg", "n_docs", "n_inserted", "n_new",
     "n_redundant", "bitmap", "hll", "cms", "tdigest", "kll",
 ]
+
+
+def _family_kwargs(params: BloomParams) -> dict:
+    """BloomSketch kwargs selecting the probe family (native K-M vs the
+    published ntHash NTM64 for DNA .bf interop)."""
+    if params.hash_family == "nthash":
+        return {"hash_family": "nthash", "nt_k": params.shingle_w}
+    return {}
 
 
 def _seg_layout(params: BloomParams, build: BuildConfig) -> tuple[int, int, int]:
@@ -338,7 +349,8 @@ def _build_partition_fn(params: BloomParams, build: BuildConfig, text_col: str,
         if subtract_bits is not None:
             sm, sh_, sb, sseg = subtract_meta
             sub = BloomSketch.deserialize(
-                subtract_bits, sm, sh_, block_bits=sb, seg_offsets=sseg
+                subtract_bits, sm, sh_, block_bits=sb, seg_offsets=sseg,
+                **_family_kwargs(params),
             )
         hashes_acc: dict[str, list] = {}
         state: dict[str, tuple] = {}
@@ -358,8 +370,9 @@ def _build_partition_fn(params: BloomParams, build: BuildConfig, text_col: str,
                     n_docs[fid] = 0
                     seg_counts[fid] = np.zeros(S, dtype=np.int64)
                 hll, cms, td, kll = state[fid]
-                frames, _offs, tok_hashes, tok_counts = batch_doc_shingles(
-                    grp[text_col].to_numpy(), w
+                frames, _offs, tok_hashes, tok_counts = batch_frames(
+                    grp[text_col].to_numpy(), w, canonical=params.canonical,
+                    hash_family=params.hash_family,
                 )
                 if sub is not None and frames.size:
                     frames = frames[~sub.contains_batch(frames)]
@@ -464,7 +477,8 @@ def _seg_reduce_fn(params: BloomParams, build: BuildConfig, pinned: dict | None,
                 or_scatter_sorted(words, local, probe_words64(h2, h))
             payload = b"S" + words.tobytes()
         else:
-            sk = BloomSketch(m_bits=m_seg, num_hashes=h, block_bits=bb)
+            sk = BloomSketch(m_bits=m_seg, num_hashes=h, block_bits=bb,
+                             **_family_kwargs(params))
             if uniq.size:
                 sk.update_batch(uniq, assume_unique=True)
             payload = b"S" + sk.serialize()
@@ -525,6 +539,8 @@ def _assemble_fn(params: BloomParams, build: BuildConfig, pinned: dict | None):
                 "num_hashes": [h],
                 "block_bits": [bb],
                 "shingle_w": [params.shingle_w],
+                "canonical": [params.canonical],
+                "hash_family": [params.hash_family],
                 "target_fpr": [params.fpr],
                 "expected_entries": [int(expected)],
                 "n_docs": [n_docs],
@@ -578,7 +594,8 @@ def _merge_partials_fn(sizing: dict, out_schema, final: bool, params: BloomParam
             elif tag in (b"D", b"E"):
                 saw_dense = True
                 if bloom is None:
-                    bloom = BloomSketch(m_bits=m, num_hashes=h, block_bits=bb)
+                    bloom = BloomSketch(m_bits=m, num_hashes=h, block_bits=bb,
+                                        **_family_kwargs(params))
                 raw = zlib.decompress(body) if tag == b"D" else body
                 bloom.bits |= np.frombuffer(raw, dtype=np.uint8)
             else:  # pragma: no cover - unknown tag
@@ -608,7 +625,8 @@ def _merge_partials_fn(sizing: dict, out_schema, final: bool, params: BloomParam
             n_new_out, n_red_out = int(uniq.size), n_ins - int(uniq.size)
         else:
             if bloom is None:
-                bloom = BloomSketch(m_bits=m, num_hashes=h, block_bits=bb)
+                bloom = BloomSketch(m_bits=m, num_hashes=h, block_bits=bb,
+                                    **_family_kwargs(params))
             if uniq.size:
                 bloom.update_batch(uniq, assume_unique=True)
             payload = (
@@ -648,6 +666,8 @@ def _merge_partials_fn(sizing: dict, out_schema, final: bool, params: BloomParam
                 "num_hashes": [h],
                 "block_bits": [bb],
                 "shingle_w": [params.shingle_w],
+                "canonical": [params.canonical],
+                "hash_family": [params.hash_family],
                 "target_fpr": [params.fpr],
                 "expected_entries": [meta["expected_entries"]],
                 "num_entries": [num_entries],
@@ -900,6 +920,8 @@ def load_registry(registry_df: DataFrame, order: Iterable[str] | None = None) ->
                 "num_hashes": int(r["num_hashes"]),
                 "block_bits": int(r.get("block_bits", 0)),
                 "shingle_w": int(r["shingle_w"]),
+                "canonical": bool(r.get("canonical") or False),
+                "hash_family": str(r.get("hash_family") or "poly"),
                 "bitmap": bytes(r["bitmap"]),
                 "seg_offsets": (
                     np.frombuffer(bytes(so), dtype=np.int64) if so is not None else None

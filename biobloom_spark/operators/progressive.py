@@ -127,6 +127,7 @@ def progressive_build(
                 "block_bits": bait[3] if len(bait) > 3 else 0,
                 "seg_offsets": bait[4] if len(bait) > 4 else None,
                 "shingle_w": params.shingle_w,
+                "canonical": params.canonical,
                 "bitmap": bait[0],
                 "fpr": 1e-12,
                 "target_fpr": params.fpr,

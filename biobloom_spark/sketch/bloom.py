@@ -210,8 +210,22 @@ class BloomSketch:
     #: segment s (top log2 S bits of h1) owns words [off[s], off[s+1]).
     #: None = single range.  Produced by the distributed segmented merge.
     seg_offsets: np.ndarray | None = None
+    #: probe-position family: "km" = Kirsch–Mitzenmacher double hashing
+    #: over the input hash (native); "nthash" = published ntHash NTM64
+    #: positions over NTC64 base values (DNA ``.bf`` interop — inputs must
+    #: then be NTC64 hashes from sketch.nthash.batch_ntc64).
+    hash_family: str = "km"
+    #: k-mer size for the nthash family (NTM64's multiplier uses k)
+    nt_k: int = 0
 
     def __post_init__(self) -> None:
+        if self.hash_family not in ("km", "nthash"):
+            raise ValueError(f"unknown hash family {self.hash_family!r}")
+        if self.hash_family == "nthash":
+            if self.block_bits:
+                raise ValueError("nthash family requires the classic layout")
+            if self.nt_k < 1:
+                raise ValueError("nthash family requires nt_k (the k-mer size)")
         if self.m_bits % 64:
             raise ValueError("m_bits must be a multiple of 64")
         if self.seg_offsets is not None:
@@ -299,6 +313,21 @@ class BloomSketch:
             return 0
         # first occurrences: a repeated hash within the batch is redundant
         uniq = hashes if assume_unique else np.unique(hashes)
+        if self.hash_family == "nthash":
+            from .nthash import nt_positions
+
+            present = np.ones(uniq.size, dtype=bool)
+            for idx in nt_positions(uniq, self.nt_k, self.num_hashes, self.m_bits):
+                byte_i = idx >> 3
+                bit_m = _BIT_LUT[idx & 7]
+                present &= (self.bits[byte_i] & bit_m) != 0
+                np.bitwise_or.at(self.bits, byte_i, bit_m)
+            n_uniq_new = int((~present).sum())
+            self.n_inserted += int(hashes.size)
+            self.n_new += n_uniq_new
+            n_red = int(hashes.size - n_uniq_new)
+            self.n_redundant += n_red
+            return n_red
         h1, h2 = km_probe(uniq)
         if self.block_bits == 64:
             words = self._words()
@@ -333,6 +362,13 @@ class BloomSketch:
         (contains call sites /root/reference/Common/SeqEval.h:54,79,158)."""
         if hashes.size == 0:
             return np.zeros(0, dtype=bool)
+        if self.hash_family == "nthash":
+            from .nthash import nt_positions
+
+            hit = np.ones(hashes.size, dtype=bool)
+            for idx in nt_positions(hashes, self.nt_k, self.num_hashes, self.m_bits):
+                hit &= (self.bits[idx >> 3] & _BIT_LUT[idx & 7]) != 0
+            return hit
         h1, h2 = km_probe(hashes)
         return self.contains_probe(h1, h2)
 
@@ -406,10 +442,12 @@ class BloomSketch:
             self.seg_offsets is None
             or np.array_equal(self.seg_offsets, other.seg_offsets)
         )
-        if (self.m_bits, self.num_hashes, self.block_bits) != (
+        if (self.m_bits, self.num_hashes, self.block_bits, self.hash_family, self.nt_k) != (
             other.m_bits,
             other.num_hashes,
             other.block_bits,
+            other.hash_family,
+            other.nt_k,
         ) or not same_seg:
             raise ValueError("cannot merge Bloom sketches with different params")
         return BloomSketch(
@@ -421,6 +459,8 @@ class BloomSketch:
             n_redundant=self.n_redundant + other.n_redundant,
             block_bits=self.block_bits,
             seg_offsets=self.seg_offsets,
+            hash_family=self.hash_family,
+            nt_k=self.nt_k,
         )
 
     # -- stats ------------------------------------------------------------

@@ -209,6 +209,46 @@ def flat_shingle_hashes(
     return splitmix64(acc[valid]), offsets
 
 
+def canonical_flat_shingle_hashes(
+    token_hashes: np.ndarray,
+    rc_token_hashes: np.ndarray,
+    token_counts: np.ndarray,
+    w: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Strand-canonical batch shingling: hash(frame) == hash(revcomp(frame)).
+
+    The reference hashes k-mers canonically — ntHash returns one value for
+    a k-mer and its reverse complement (asserted by its own test,
+    /root/reference/Tests/ntHashTests.cpp:20-41; RC machinery
+    /root/reference/Common/Sequence.cpp).  Here: alongside the forward
+    polynomial (descending powers over token hashes), compute the
+    reverse-complement polynomial — ascending powers over the
+    *revcomp-token* hashes, which equals the forward polynomial of the
+    reverse-complemented frame — and avalanche the elementwise min.
+    Proof of invariance: fwd(revcomp(F)) == rc(F) and rc(revcomp(F)) ==
+    fwd(F), so min is unchanged under strand flip.
+
+    ``rc_token_hashes[i]`` must hold the hash of token i's
+    reverse-complement string (for 1-char DNA tokens: the complement
+    base).  Same output shape as ``flat_shingle_hashes``.
+    """
+    valid, offsets = flat_valid_windows(token_counts, w)
+    n = token_hashes.shape[0]
+    if n < w or int(offsets[-1]) == 0:
+        return np.empty(0, dtype=np.uint64), offsets
+    m = n - w + 1
+    fwd = np.zeros(m, dtype=np.uint64)
+    rc = np.zeros(m, dtype=np.uint64)
+    # ascending powers B^0..B^{w-1} (0-d array arithmetic: silent wrap)
+    pw = np.array(1, dtype=np.uint64)
+    base = np.array(POLY_BASE, dtype=np.uint64)
+    for j in range(w):
+        fwd = (fwd * POLY_BASE + token_hashes[j : m + j]) & _MASK64
+        rc = (rc + rc_token_hashes[j : m + j] * pw) & _MASK64
+        pw = pw * base
+    return splitmix64(np.minimum(fwd, rc)[valid]), offsets
+
+
 def km_probe(hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Kirsch–Mitzenmacher base pair (h1, h2-odd) — computed once per batch
     and shared across filters of different sizes."""

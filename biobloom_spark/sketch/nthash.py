@@ -1,0 +1,149 @@
+"""ntHash — the reference's DNA rolling hash, reimplemented from the
+published algorithm (Mohamadi, Chu, Coombe, Birol: "ntHash: recursive
+nucleotide hashing", Bioinformatics 2016; public reference implementation
+bcgsc/ntHash).  The reference consumes it through
+``btl_bloomfilter/vendor/ntHashIterator.hpp`` (include sites
+/root/reference/Common/SeqEval.h:20,
+/root/reference/BioBloomMaker/BloomFilterGenerator.h:13); the vendored
+submodule is absent from the checkout, so this module follows the
+*published* recurrence and constants — nothing is transcribed from the
+reference tree.
+
+Published definition (ntHash v1):
+- per-base 64-bit seeds (the paper's published constants)
+- forward strand:  fh(s) = XOR_i rol(seed(s_i), k-1-i)
+- reverse strand:  rh(s) = XOR_i rol(seed(comp(s_i)), i)
+- canonical NTC64: min(fh, rh)  → strand-invariant
+  (the property the reference's own test asserts,
+  /root/reference/Tests/ntHashTests.cpp:20-41)
+- rolling update:  fh' = rol(fh,1) ^ rol(seed(out), k) ^ seed(in)
+- extra hashes (NTM64): t = h * (i ^ k·multiSeed); t ^= t >> multiShift
+
+Vectorization: the direct (non-rolling) form is a k-pass XOR of
+constant-rotated seed arrays over the flat base array — the same
+flat-window shape as ``flat_shingle_hashes`` — so whole batches hash with
+no per-base Python.  The rolling form exists as a scalar reference used
+by tests to check the published recurrence and the direct form agree.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .hashing import flat_valid_windows
+
+_U64 = np.uint64
+
+# published ntHash base seeds
+SEED_A = 0x3C8BFBB395C60474
+SEED_C = 0x3193C18562A02B4C
+SEED_G = 0x20323ED082572324
+SEED_T = 0x295549F54BE24456
+SEED_N = 0x0000000000000000
+
+# published multi-hash constants
+MULTISEED = _U64(0x90B45D39FB6DA1FA)
+MULTISHIFT = _U64(27)
+
+_SEED_TAB = np.zeros(256, dtype=np.uint64)
+_RC_SEED_TAB = np.zeros(256, dtype=np.uint64)
+for _b, _s, _c in (
+    ("A", SEED_A, SEED_T),
+    ("C", SEED_C, SEED_G),
+    ("G", SEED_G, SEED_C),
+    ("T", SEED_T, SEED_A),
+):
+    for _ch in (_b, _b.lower()):
+        _SEED_TAB[ord(_ch)] = _s
+        _RC_SEED_TAB[ord(_ch)] = _c
+# every other byte (N, ambiguity codes) hashes as SEED_N = 0
+
+
+def _rol_const(v: np.ndarray, s: int) -> np.ndarray:
+    """Rotate-left by a constant — vectorized, shift-by-0 safe."""
+    s &= 63
+    if s == 0:
+        return v
+    return (v << _U64(s)) | (v >> _U64(64 - s))
+
+
+def _seq_bytes(seqs) -> tuple[np.ndarray, np.ndarray]:
+    """Flat uint8 byte array + per-seq lengths for a batch of strings."""
+    lens = np.fromiter((len(s or "") for s in seqs), dtype=np.int64, count=len(seqs))
+    flat = np.frombuffer(
+        "".join(s or "" for s in seqs).encode("ascii", "replace"), dtype=np.uint8
+    )
+    return flat, lens
+
+
+def batch_ntc64(seqs, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Canonical ntHash (NTC64) for every k-mer of every sequence.
+
+    Returns (hashes, frame_offsets) in the ``flat_shingle_hashes`` shape:
+    seq i's k-mer hashes are ``hashes[offsets[i]:offsets[i+1]]``.
+    """
+    flat, lens = _seq_bytes(seqs)
+    valid, offsets = flat_valid_windows(lens, k)
+    n = flat.size
+    if n < k or int(offsets[-1]) == 0:
+        return np.empty(0, dtype=np.uint64), offsets
+    sv = _SEED_TAB[flat]
+    rv = _RC_SEED_TAB[flat]
+    m = n - k + 1
+    fh = np.zeros(m, dtype=np.uint64)
+    rh = np.zeros(m, dtype=np.uint64)
+    for j in range(k):
+        fh ^= _rol_const(sv[j : m + j], k - 1 - j)
+        rh ^= _rol_const(rv[j : m + j], j)
+    return np.minimum(fh, rh)[valid], offsets
+
+
+def ntm64(base: np.ndarray, k: int, num_hashes: int) -> np.ndarray:
+    """Extra hash values from one base hash (NTM64): out[0] = base,
+    out[i] = avalanche(base * (i ^ k*multiSeed)) — the published
+    multi-hash recurrence."""
+    out = np.empty((num_hashes, base.size), dtype=np.uint64)
+    out[0] = base
+    kk = np.array(k, dtype=np.uint64) * MULTISEED  # 0-d: silent wrap
+    for i in range(1, num_hashes):
+        t = base * (_U64(i) ^ kk)
+        t ^= t >> MULTISHIFT
+        out[i] = t
+    return out
+
+
+def nt_positions(base: np.ndarray, k: int, num_hashes: int, m_bits: int) -> np.ndarray:
+    """(h, n) bit positions for classic-layout probing: NTM64 values mod
+    the bit-array size — the published btl BloomFilter convention."""
+    return (ntm64(base, k, num_hashes) % _U64(m_bits)).astype(np.int64)
+
+
+# --------------------------------------------------------------------------
+# scalar rolling reference (tests only): the published recurrence verbatim
+# --------------------------------------------------------------------------
+def _rol1(v: int, s: int) -> int:
+    s &= 63
+    v &= 0xFFFFFFFFFFFFFFFF
+    return ((v << s) | (v >> (64 - s))) & 0xFFFFFFFFFFFFFFFF if s else v
+
+
+def rolling_ntc64(seq: str, k: int) -> list[int]:
+    """Scalar NTC64 via the published *rolling* updates — used by tests to
+    confirm the vectorized direct form implements the same recurrence."""
+    if len(seq) < k:
+        return []
+    st = [int(_SEED_TAB[b]) for b in seq.encode("ascii", "replace")]
+    rt = [int(_RC_SEED_TAB[b]) for b in seq.encode("ascii", "replace")]
+    fh = 0
+    rh = 0
+    for i in range(k):
+        fh ^= _rol1(st[i], k - 1 - i)
+        rh ^= _rol1(rt[i], i)
+    out = [min(fh, rh)]
+    for i in range(1, len(seq) - k + 1):
+        # fh' = rol(fh,1) ^ rol(seed(out),k) ^ seed(in)
+        fh = _rol1(fh, 1) ^ _rol1(st[i - 1], k) ^ st[i + k - 1]
+        # rh' = ror(rh,1) ^ ror(seed(comp(out)),1) ^ rol(seed(comp(in)),k-1)
+        rh = _rol1(rh, 63) ^ _rol1(rt[i - 1], 63) ^ _rol1(rt[i + k - 1], k - 1)
+        out.append(min(fh, rh))
+    return out

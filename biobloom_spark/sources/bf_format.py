@@ -10,13 +10,17 @@ The reference persists each filter as two files
   /root/reference/Common/BloomFilterInfo.cpp:81-116, read: :31-53).
 
 This module reads/writes that exact container so a user can exchange
-filter files with the reference installation.  Payload caveat, stated
-loudly: the reference hashes DNA k-mers with ntHash; this engine hashes
-token shingles with FNV/splitmix polynomial hashing — a ``.bf`` built by
-one cannot be *queried* by the other (different universes, different hash
-family).  Interop is at the container level: sizes, counters, FPR fields
-and the bit dump round-trip bit-exactly.  Imported filters carry
-``block_bits=0`` (the reference's classic layout).
+filter files with the reference installation.  Hash-family handling: the
+reference hashes DNA k-mers with ntHash; this engine's native family is
+FNV/splitmix polynomial shingles.  A container WITHOUT our sources
+marker is treated as reference-built and probed through the published
+ntHash recurrence (sketch.nthash) — the vendored btl_bloomfilter
+submodule is absent from the checkout, so ntHash bit-compat is
+per-published-spec, verified by the recurrence/symmetry tests rather
+than against a reference binary.  Our own exports record their family
+and canonical mode in the sources marker and round-trip losslessly.
+Imported filters carry ``block_bits=0`` (the reference's classic
+layout).
 """
 
 from __future__ import annotations
@@ -117,7 +121,11 @@ def registry_row_to_bf(row: dict, out_dir: str) -> tuple[str, str]:
     dump is layout-agnostic — but only classic (block_bits=0) filters are
     probe-compatible with a reference reader; a marker source records it.
     """
-    sources = [f"biobloom_spark:block_bits={row.get('block_bits', 0)}"]
+    sources = [
+        f"biobloom_spark:block_bits={row.get('block_bits', 0)}"
+        f",canonical={1 if row.get('canonical') else 0}"
+        f",family={row.get('hash_family', 'poly')}"
+    ]
     return write_bf(
         os.path.join(out_dir, str(row["filter_id"])),
         bytes(row["bitmap"]),
@@ -138,12 +146,25 @@ def bf_to_registry_row(path_prefix: str) -> dict:
     """Import a reference-container filter as a registry-shaped dict ready
     for ``categorize`` (block_bits=0 classic probing)."""
     sketch, info = read_bf(path_prefix)
+    sources = info.get("sources", [])
+    ours = any(s.startswith("biobloom_spark:") for s in sources)
+    # our own exports carry a marker recording the native (poly) family and
+    # canonical mode; a container WITHOUT the marker is reference-built →
+    # probe with the published ntHash family (sketch.nthash), which is
+    # canonical by construction
+    canonical = any("canonical=1" in s for s in sources)
+    if ours:
+        family = "nthash" if any("family=nthash" in s for s in sources) else "poly"
+    else:
+        family = "nthash"
     return {
         "filter_id": info["filter_id"],
         "m_bits": info["size"],
         "num_hashes": info["num_hashes"],
         "block_bits": 0,
         "shingle_w": info["kmer_size"],
+        "canonical": canonical,
+        "hash_family": family,
         "bitmap": sketch.serialize(),
         "fpr": max(info["approx_fpr"], 1e-300),
         "target_fpr": info["desired_fpr"],

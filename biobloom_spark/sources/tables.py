@@ -52,6 +52,10 @@ REGISTRY_SCHEMA = T.StructType(
         T.StructField("num_hashes", T.IntegerType(), False),
         T.StructField("block_bits", T.IntegerType(), False),
         T.StructField("shingle_w", T.IntegerType(), False),
+        # strand-canonical frame hashing (DNA mode); nullable → False
+        T.StructField("canonical", T.BooleanType(), True),
+        # frame-hash family ("poly" | "nthash"); nullable → "poly"
+        T.StructField("hash_family", T.StringType(), True),
         T.StructField("target_fpr", T.DoubleType(), False),
         T.StructField("expected_entries", T.LongType(), False),
         # [runtime_options] analog (BloomFilterInfo.cpp:99-116)

@@ -160,6 +160,31 @@ class TestCategorizer:
         misses = joined.filter(~F.array_contains("hits", F.col("lang"))).count()
         assert misses == 0
 
+    def test_sharded_evaluation_matches_single_pass(self, spark, corpus, registry):
+        """A broadcast cap small enough to force multiple passes must give
+        byte-identical assignments/hits/scores (the executor-memory escape
+        hatch for very large registries)."""
+        from biobloom_spark.operators.categorizer import _shard_filters
+
+        cap = max(len(f["bitmap"]) for f in registry)
+        assert len(_shard_filters(registry, cap)) >= 2
+        for mode in ("std", "besthit"):
+            cfg = CategorizerConfig(mode=mode)
+            one = {
+                r["url"]: (r["assigned"], tuple(r["hits"]), r["n_frames"],
+                           tuple(round(s, 9) for s in r["scores"]))
+                for r in categorize(spark, corpus, registry, cfg, id_col="url").collect()
+            }
+            sharded = {
+                r["url"]: (r["assigned"], tuple(r["hits"]), r["n_frames"],
+                           tuple(round(s, 9) for s in r["scores"]))
+                for r in categorize(
+                    spark, corpus, registry, cfg, id_col="url",
+                    max_broadcast_bytes=cap,
+                ).collect()
+            }
+            assert one == sharded
+
     def test_assignment_accuracy(self, spark, corpus, registry):
         """With 15% shared vocabulary, most docs are uniquely assigned to
         their own language."""
