@@ -154,7 +154,10 @@ def build_mibf(
     def claims_pass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         lmap = bc_map.value
         cache: dict = {}
-        acc = MIBFClaims()
+        parts: list[MIBFClaims] = []
+        probe = MIBFSketch(
+            m_slots, h, shingle_w, [], np.zeros(0, dtype=np.uint16), seed_arr
+        )
         for pdf in batches:
             for lab, grp in pdf.groupby("__label"):
                 li = lmap.get(str(lab))
@@ -165,11 +168,9 @@ def build_mibf(
                 )
                 if rows.size == 0:
                     continue
-                probe = MIBFSketch(
-                    m_slots, h, shingle_w, [], np.zeros(0, dtype=np.uint16), seed_arr
-                )
                 pos = probe.positions_for(rows)
-                acc = acc.merge(MIBFClaims.from_positions(pos, li))
+                parts.append(MIBFClaims.from_positions(pos, li))
+        acc = MIBFClaims.merge_all(parts)  # ONE sort per partition
         if acc.slots.size == 0:
             return
         # slots are sorted: one searchsorted splits the partial by segment
@@ -188,9 +189,9 @@ def build_mibf(
         """One reducer per slot-range segment: merge that segment's claims
         (associative min-tiebreak) and emit the resolved uint16 id slice."""
         s = int(key[0])
-        acc = MIBFClaims()
-        for p in pdf["payload"]:
-            acc = acc.merge(MIBFClaims.deserialize(bytes(p)))
+        acc = MIBFClaims.merge_all(
+            [MIBFClaims.deserialize(bytes(p)) for p in pdf["payload"]]
+        )  # ONE sort per segment, not a 64-step merge chain
         lo, hi = int(bounds[s]), int(bounds[s + 1])
         ids_seg = np.zeros(hi - lo, dtype=np.uint16)
         ids_seg[acc.slots - lo] = acc.owners()
