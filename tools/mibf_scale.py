@@ -40,7 +40,7 @@ def run_one(cores: int, reps: int) -> dict:
     # untimed warm build: first-touch page faults + codegen (BENCH.md's
     # measured ~150 MB/s fault path would otherwise dominate rep 0)
     sk = build_mibf(spark, docs, key_col="lang", occupancy=0.5)
-    classify_mibf(spark, docs, sk).groupBy("assigned").count().collect()
+    classify_mibf(spark, docs, sk, id_col="url").groupBy("assigned").count().collect()
 
     def sample(fn):
         out = []
@@ -52,7 +52,7 @@ def run_one(cores: int, reps: int) -> dict:
 
     build_s = sample(lambda: build_mibf(spark, docs, key_col="lang", occupancy=0.5))
     cat_s = sample(
-        lambda: classify_mibf(spark, docs, sk).groupBy("assigned").count().collect()
+        lambda: classify_mibf(spark, docs, sk, id_col="url").groupBy("assigned").count().collect()
     )
     spark.stop()
     return {"cores": cores, "n_docs": n, "mibf_build_s": round(build_s, 3),
