@@ -195,16 +195,28 @@ def _categorize_sharded(
     Pass s broadcasts only shard s's bitmaps and emits raw per-filter
     (scores, matches) vectors — no assignment yet, because every mode's
     decision (besthit argmax, multiMatch counting, ordered priority) needs
-    the FULL score row.  One groupBy on the doc id then stitches shard
-    vectors back into full rows and runs the normal ``_assign``.  Cost vs
-    single-pass: the corpus is scanned once per shard and one extra
-    shuffle keyed by doc id — the standard memory/IO trade.
+    the FULL score row.  One groupBy on a per-row surrogate key then
+    stitches shard vectors back into full rows and runs the normal
+    ``_assign``.  Cost vs single-pass: the corpus is scanned once per
+    shard and one extra shuffle keyed by row — the standard memory/IO
+    trade.
+
+    The stitch keys on ``monotonically_increasing_id()`` attached before
+    the shard passes, NOT on ``id_col`` — duplicate doc ids must yield one
+    output row per input row (the single-pass contract).  Every pass scans
+    the same projected plan, so the surrogate is stable across passes for
+    deterministic sources (a file scan; the same assumption multi-pass
+    evaluation already makes about the corpus content itself).
     """
     all_ids = [f["filter_id"] for sh in shards for f in sh]
     n_shards = len(shards)
     id_field = docs.schema[id_col]
+    keyed = docs.select(id_col, text_col).withColumn(
+        "__row", F.monotonically_increasing_id()
+    )
     part_schema = T.StructType(
         [
+            T.StructField("__row", T.LongType(), False),
             id_field,
             T.StructField("__shard", T.IntegerType(), False),
             T.StructField("n_frames", T.LongType(), False),
@@ -226,6 +238,7 @@ def _categorize_sharded(
                 )
                 yield pd.DataFrame(
                     {
+                        "__row": pdf["__row"].to_numpy(),
                         id_col: pdf[id_col].to_numpy(),
                         "__shard": si,
                         "n_frames": frames,
@@ -234,13 +247,14 @@ def _categorize_sharded(
                     }
                 )
 
-        return docs.select(id_col, text_col).mapInPandas(run, schema=part_schema)
+        return keyed.mapInPandas(run, schema=part_schema)
 
     parts = score_pass(shards[0], 0)
     for si in range(1, n_shards):
         parts = parts.unionByName(score_pass(shards[si], si))
 
-    agg = parts.groupBy(id_col).agg(
+    agg = parts.groupBy("__row").agg(
+        F.first(id_col).alias(id_col),
         F.max("n_frames").alias("n_frames"),
         F.collect_list(F.struct("__shard", "scores", "matches")).alias("parts"),
     )

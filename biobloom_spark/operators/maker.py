@@ -903,7 +903,10 @@ def load_registry(registry_df: DataFrame, order: Iterable[str] | None = None) ->
                 f"engine probes layout {REGISTRY_LAYOUT_VERSION} — rebuild "
                 "the filter (stale registries return wrong membership)"
             )
-        if lv is None and "layout_version" not in r:
+        if lv is None:
+            # null OR absent: a schema-enforced read of an old registry
+            # materializes the column as null, so keying on dict presence
+            # would silently treat stale rows as current layout
             import warnings
 
             warnings.warn(

@@ -128,6 +128,7 @@ def progressive_build(
                 "seg_offsets": bait[4] if len(bait) > 4 else None,
                 "shingle_w": params.shingle_w,
                 "canonical": params.canonical,
+                "hash_family": params.hash_family,
                 "bitmap": bait[0],
                 "fpr": 1e-12,
                 "target_fpr": params.fpr,

@@ -77,10 +77,16 @@ def _seq_bytes(seqs) -> tuple[np.ndarray, np.ndarray]:
 
 
 def batch_ntc64(seqs, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """Canonical ntHash (NTC64) for every k-mer of every sequence.
+    """Canonical ntHash (NTC64) for every *valid* k-mer of every sequence.
 
     Returns (hashes, frame_offsets) in the ``flat_shingle_hashes`` shape:
     seq i's k-mer hashes are ``hashes[offsets[i]:offsets[i+1]]``.
+
+    K-mers containing a non-ACGT base (N / ambiguity codes) are skipped —
+    dropped from both the hash output and the per-seq frame counts — the
+    reference's ntHashIterator semantics (it rolls past N-containing
+    k-mers, so reference-built ``.bf`` filters never contain them and
+    reference scoring excludes them from frame counts).
     """
     flat, lens = _seq_bytes(seqs)
     valid, offsets = flat_valid_windows(lens, k)
@@ -95,7 +101,23 @@ def batch_ntc64(seqs, k: int) -> tuple[np.ndarray, np.ndarray]:
     for j in range(k):
         fh ^= _rol_const(sv[j : m + j], k - 1 - j)
         rh ^= _rol_const(rv[j : m + j], j)
-    return np.minimum(fh, rh)[valid], offsets
+    hashes = np.minimum(fh, rh)[valid]
+    # per-base validity → sliding any() over each k-window (SEED_TAB is 0
+    # exactly for bytes outside ACGTacgt); window i is bad iff any of
+    # flat[i:i+k] is invalid — prefix-sum difference, no Python loop
+    invalid = sv == 0
+    if invalid.any():
+        csum = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(invalid, out=csum[1:])
+        good = (csum[valid + k] - csum[valid]) == 0
+        frames = np.diff(offsets)
+        ndocs = frames.size
+        doc_of_frame = np.repeat(np.arange(ndocs), frames)
+        new_counts = np.bincount(doc_of_frame[good], minlength=ndocs)
+        offsets = np.zeros(ndocs + 1, dtype=np.int64)
+        np.cumsum(new_counts, out=offsets[1:])
+        hashes = hashes[good]
+    return hashes, offsets
 
 
 def ntm64(base: np.ndarray, k: int, num_hashes: int) -> np.ndarray:
@@ -129,21 +151,30 @@ def _rol1(v: int, s: int) -> int:
 
 def rolling_ntc64(seq: str, k: int) -> list[int]:
     """Scalar NTC64 via the published *rolling* updates — used by tests to
-    confirm the vectorized direct form implements the same recurrence."""
+    confirm the vectorized direct form implements the same recurrence.
+
+    Like the reference's ntHashIterator, k-mers containing a non-ACGT base
+    are skipped (the rolling state still advances — rolling past an
+    N-containing window with SEED_N=0 contributions yields exactly the
+    direct-form value once the window is N-free again, so no re-init is
+    needed; only the emission is suppressed)."""
     if len(seq) < k:
         return []
-    st = [int(_SEED_TAB[b]) for b in seq.encode("ascii", "replace")]
-    rt = [int(_RC_SEED_TAB[b]) for b in seq.encode("ascii", "replace")]
+    raw = seq.encode("ascii", "replace")
+    st = [int(_SEED_TAB[b]) for b in raw]
+    rt = [int(_RC_SEED_TAB[b]) for b in raw]
+    bad = [s == 0 for s in st]
     fh = 0
     rh = 0
     for i in range(k):
         fh ^= _rol1(st[i], k - 1 - i)
         rh ^= _rol1(rt[i], i)
-    out = [min(fh, rh)]
+    out = [] if any(bad[:k]) else [min(fh, rh)]
     for i in range(1, len(seq) - k + 1):
         # fh' = rol(fh,1) ^ rol(seed(out),k) ^ seed(in)
         fh = _rol1(fh, 1) ^ _rol1(st[i - 1], k) ^ st[i + k - 1]
         # rh' = ror(rh,1) ^ ror(seed(comp(out)),1) ^ rol(seed(comp(in)),k-1)
         rh = _rol1(rh, 63) ^ _rol1(rt[i - 1], 63) ^ _rol1(rt[i + k - 1], k - 1)
-        out.append(min(fh, rh))
+        if not any(bad[i : i + k]):
+            out.append(min(fh, rh))
     return out

@@ -185,6 +185,24 @@ class TestCategorizer:
             }
             assert one == sharded
 
+    def test_sharded_duplicate_ids_one_row_per_input(self, spark, corpus, registry):
+        """Sharded mode must emit one output row per input row even when
+        id_col is not unique (the stitch keys a per-row surrogate, not the
+        doc id) — the single-pass equivalence contract."""
+        from biobloom_spark.operators.categorizer import _shard_filters
+
+        cap = max(len(f["bitmap"]) for f in registry)
+        assert len(_shard_filters(registry, cap)) >= 2
+        dup = corpus.limit(20).withColumn("url", F.lit("same-id"))
+        res = categorize(
+            spark, dup, registry, id_col="url", max_broadcast_bytes=cap
+        ).collect()
+        assert len(res) == 20
+        single = categorize(spark, dup, registry, id_col="url").collect()
+        assert sorted(
+            (r["assigned"], tuple(r["hits"]), r["n_frames"]) for r in res
+        ) == sorted((r["assigned"], tuple(r["hits"]), r["n_frames"]) for r in single)
+
     def test_assignment_accuracy(self, spark, corpus, registry):
         """With 15% shared vocabulary, most docs are uniquely assigned to
         their own language."""

@@ -169,6 +169,23 @@ class TestNtHash:
             assert np.array_equal(direct, np.array(flat, dtype=np.uint64)), k
             assert off[-1] == len(flat)
 
+    def test_n_containing_kmers_skipped(self):
+        """The reference's ntHashIterator rolls past N-containing k-mers, so
+        they appear in neither a reference-built .bf nor its frame counts —
+        batch_ntc64 must drop them from hashes AND per-seq offsets."""
+        from biobloom_spark.sketch.nthash import batch_ntc64
+
+        h, off = batch_ntc64(["ACGTNACGTA"], 5)
+        # windows starting 0..4 all contain the N at index 4; only "ACGTA"
+        # (start 5) is valid
+        assert h.size == 1 and off.tolist() == [0, 1]
+        clean, _ = batch_ntc64(["ACGTA"], 5)
+        assert np.array_equal(h, clean)
+        # multi-doc offsets stay aligned after the skip
+        h2, off2 = batch_ntc64(["ACGTNACGTA", "NNNNN", "ACGTACGT"], 5)
+        assert off2.tolist() == [0, 1, 1, 5]
+        assert h2.size == 5
+
     def test_canonical_strand_symmetry(self):
         # the ntHashTests.cpp assertion: same values on the reverse strand
         from biobloom_spark.functions.text import revcomp

@@ -103,6 +103,39 @@ def test_progressive_bait_extends_matches(spark, genome_reads):
     }
     assert it1 and max(it1) >= 200  # bait reached the tail in one pass
 
+def test_progressive_bait_under_nthash(spark):
+    """bait + hash_family='nthash' is a valid combination: the bait dict
+    must inherit the run's hash family, or _score_texts raises the
+    mixed-family ValueError (round-3 ADVICE regression)."""
+    from biobloom_spark.operators.maker import build_filters, load_registry
+
+    genome = "ACGTTGCAACGGTTAACCGGTTAACCGTACGTACGGATCCGGAAT" * 3
+    params = BloomParams(shingle_w=11, hash_family="nthash", block_bits=0)
+    seeds = spark.createDataFrame(
+        [("s", " ".join(genome[:60]))], "doc_id string, text string"
+    )
+    reads = spark.createDataFrame(
+        [("r1", " ".join(genome[40:100])), ("r2", " ".join(genome[90:135]))],
+        "doc_id string, text string",
+    )
+    bait_reg = load_registry(
+        build_filters(
+            spark,
+            reads.filter(F.col("doc_id") == "r2").withColumn("k", F.lit("bait")),
+            key_col="k", id_col="doc_id", params=params,
+            build=BuildConfig(num_buckets=1, merge_groups=1),
+        )
+    )[0]
+    filters, tagged = progressive_build(
+        spark, seeds, reads, max_iterations=2, params=params,
+        build=BuildConfig(num_buckets=1, merge_groups=1),
+        scoring=ScoringConfig(threshold=0.2),
+        bait=(bait_reg["bitmap"], bait_reg["m_bits"], bait_reg["num_hashes"],
+              bait_reg["block_bits"], bait_reg["seg_offsets"]),
+    )
+    assert tagged.filter(F.col("iteration") > 0).count() >= 1
+
+
 def test_incremental_equals_rebuild_from_scratch(spark, genome_reads):
     """The incremental OR-merge (insert only newly matched docs per
     iteration) must produce the exact bitmap of a from-scratch build over
