@@ -40,9 +40,11 @@ from ..config import MULTI_MATCH, NO_MATCH
 from ..functions.stats import log_binom_sf
 from ..functions.text import batch_doc_shingles
 from ..sketch.mibf import (
+    ID_MASK,
     MAX_LABELS,
     MIBFClaims,
     MIBFSketch,
+    SAT_BIT,
     flat_seed_hashes,
     mibf_size_slots,
     seed_masks_to_arrays,
@@ -103,6 +105,7 @@ def build_mibf(
     seeds: list[str] | None = None,
     expected_entries: int | None = None,
     merge_segments: int = 16,
+    max_broadcast_bytes: int | None = None,
 ) -> MIBFSketch:
     """Build one miBF over all values of ``key_col`` (labels).
 
@@ -121,6 +124,12 @@ def build_mibf(
     The corpus is read twice and never shuffled; only sparse claim blobs
     move, and no claim-cardinality data structure ever lands on the
     driver.  Labels are capped at 32767 (Doc/MultiIndex.md:165).
+
+    ``max_broadcast_bytes`` caps the id-array bytes broadcast during the
+    saturation pass: beyond the cap, saturation runs sharded by slot-range
+    segment (one segment broadcast per pass, per-probe ownership entries
+    stitched by a frame-level OR — ``_saturate_sharded``) instead of
+    broadcasting the full resolved sketch.  None = single broadcast.
     """
     from ..session import ensure_workers
 
@@ -206,6 +215,10 @@ def build_mibf(
     sketch = MIBFSketch(m_slots, h, shingle_w, labels, ids, seed_arr)
 
     # --- saturation pass (insertSaturation, MIBFGen.hpp:196-223) ----------
+    if max_broadcast_bytes is not None and sketch.ids.nbytes > max_broadcast_bytes:
+        n_seg = -(-sketch.ids.nbytes // max_broadcast_bytes)
+        _saturate_sharded(spark, base, sketch, bc_map, n_seg)
+        return sketch
     bc_ids = spark.sparkContext.broadcast(sketch.serialize())
 
     def sat_pass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -259,6 +272,115 @@ def build_mibf(
     return sketch
 
 
+def _saturate_sharded(
+    spark: SparkSession,
+    base: DataFrame,
+    sketch: MIBFSketch,
+    bc_map,
+    n_segments: int,
+) -> None:
+    """Saturation without a full-array broadcast — the sharded twin of the
+    ``sat_pass`` in ``build_mibf`` (insertSaturation, MIBFGen.hpp:196-223).
+
+    Pass s broadcasts only slot-range segment s of the resolved id array
+    and emits, for every probe position it owns, one (row, frame, slot,
+    owned-by-this-label) entry.  Every probe belongs to exactly one
+    segment, so a groupBy on (row, frame) sees all h probes of every
+    frame: frames where no probe is owned are the lost elements, and
+    their collected slots — deduped distributively — are the saturation
+    set.  The corpus is hashed once per segment and the probe entries
+    ride one shuffle; executor memory stays bounded by the segment size.
+    Mutates ``sketch`` in place (sets SAT_BIT), like the dense pass.
+    """
+    S = int(n_segments)
+    m_slots, h, w, seeds = (
+        sketch.m_slots, sketch.num_hashes, sketch.shingle_w, sketch.seeds,
+    )
+    bounds = _seg_bounds(m_slots, S)
+    keyed = base.withColumn("__row", F.monotonically_increasing_id())
+    entry_schema = T.StructType(
+        [
+            T.StructField("__row", T.LongType(), False),
+            T.StructField("frame", T.LongType(), False),
+            T.StructField("slot", T.LongType(), False),
+            T.StructField("owned", T.BooleanType(), False),
+        ]
+    )
+
+    def seg_pass(s: int):
+        lo, hi = int(bounds[s]), int(bounds[s + 1])
+        bc_seg = spark.sparkContext.broadcast(sketch.ids[lo:hi].tobytes())
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # must not close over `sketch` (would ship the full id array)
+            seg = np.frombuffer(bc_seg.value, dtype=np.uint16)
+            probe = MIBFSketch(
+                m_slots, h, w, [], np.zeros(0, dtype=np.uint16), seeds
+            )
+            lmap = bc_map.value
+            cache: dict = {}
+            for pdf in batches:
+                cols: list[list[np.ndarray]] = [[], [], [], []]
+                for lab, grp in pdf.groupby("__label"):
+                    li = lmap.get(str(lab))
+                    if li is None:
+                        continue
+                    rows_h, offsets = _frame_hash_rows(
+                        grp["__text"].to_numpy(), None, w, seeds, cache
+                    )
+                    if rows_h.size == 0 or int(offsets[-1]) == 0:
+                        continue
+                    pos = probe.positions_for(rows_h)
+                    in_seg = (pos >= lo) & (pos < hi)
+                    ii, gg = np.nonzero(in_seg)
+                    if ii.size == 0:
+                        continue
+                    doc = np.searchsorted(offsets, gg, side="right") - 1
+                    slots = pos[ii, gg]
+                    row_ids = grp["__row"].to_numpy()
+                    cols[0].append(row_ids[doc])
+                    cols[1].append(gg - offsets[doc])
+                    cols[2].append(slots)
+                    cols[3].append(
+                        (seg[slots - lo] & ID_MASK) == np.uint16(li)
+                    )
+                if cols[0]:
+                    yield pd.DataFrame(
+                        {
+                            "__row": np.concatenate(cols[0]),
+                            "frame": np.concatenate(cols[1]),
+                            "slot": np.concatenate(cols[2]),
+                            "owned": np.concatenate(cols[3]),
+                        }
+                    )
+
+        return keyed.mapInPandas(run, schema=entry_schema)
+
+    entries = seg_pass(0)
+    for s in range(1, S):
+        entries = entries.unionByName(seg_pass(s))
+    lost = (
+        entries.groupBy("__row", "frame")
+        .agg(
+            F.max(F.col("owned").cast("int")).alias("any_owned"),
+            F.collect_list("slot").alias("slots"),
+        )
+        .filter(F.col("any_owned") == 0)
+    )
+    sat_slots = lost.select(F.explode("slots").alias("slot")).distinct()
+    pack_schema = T.StructType([T.StructField("slots", T.BinaryType(), False)])
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield pd.DataFrame(
+                    {"slots": [pdf["slot"].to_numpy().astype(np.int64).tobytes()]}
+                )
+
+    for r in sat_slots.mapInPandas(pack, schema=pack_schema).collect():
+        sketch.apply_saturation(np.frombuffer(bytes(r["slots"]), dtype=np.int64))
+
+
 def _count_batch(texts: np.ndarray, sketch: MIBFSketch, cache: dict):
     """Per-doc per-label hit counting (evalRead counts loop,
     MIBFClassifier.hpp:850-890) over one batch.
@@ -272,15 +394,29 @@ def _count_batch(texts: np.ndarray, sketch: MIBFSketch, cache: dict):
     """
     w, L = sketch.shingle_w, len(sketch.labels)
     rows, offsets = _frame_hash_rows(texts, None, w, sketch.seeds, cache)
-    n_docs = offsets.size - 1
     frames = np.diff(offsets)
-    n_fr = int(offsets[-1])
-    empty = np.empty(0, dtype=np.int64)
-    if n_fr == 0:
+    if int(offsets[-1]) == 0:
+        empty = np.empty(0, dtype=np.int64)
         return frames, empty, empty, empty
     pos = sketch.positions_for(rows)  # (h, n_fr)
     lab, sat = sketch.gather(pos)  # (h, n_fr) uint16 / bool
-    h = pos.shape[0]
+    keys, counts, full = _count_from_gather(offsets, lab, sat, L)
+    return frames, keys, counts, full
+
+
+def _count_from_gather(offsets: np.ndarray, lab: np.ndarray, sat: np.ndarray, L: int):
+    """The counting core of ``_count_batch`` given pre-gathered per-probe
+    (label, saturated) matrices — also the stitch kernel of the sharded
+    classify path, where the (h, n_frames) matrices are reassembled from
+    per-segment passes instead of a full-array gather.
+
+    Returns (keys, counts, full) in the ``_count_batch`` encoding.
+    """
+    n_fr = int(offsets[-1])
+    empty = np.empty(0, dtype=np.int64)
+    if n_fr == 0:
+        return empty, empty, empty
+    h = lab.shape[0]
     frame_col = np.tile(np.arange(n_fr, dtype=np.int64), h)
     lab_flat = lab.ravel().astype(np.int64)
     sat_flat = sat.ravel()
@@ -301,7 +437,7 @@ def _count_batch(texts: np.ndarray, sketch: MIBFSketch, cache: dict):
 
     keys_c, counts_c = per_doc_label_counts(np.ones_like(sat_flat, dtype=bool))
     if keys_c.size == 0:
-        return frames, empty, empty, empty
+        return empty, empty, empty
     full_frame = (lab > 0).all(axis=0)
     keys_f, counts_f = per_doc_label_counts(full_frame[frame_col] & ~sat_flat)
     full_i = np.zeros(keys_c.size, dtype=np.int64)
@@ -310,7 +446,7 @@ def _count_batch(texts: np.ndarray, sketch: MIBFSketch, cache: dict):
         fidx = np.clip(fidx, 0, keys_f.size - 1)
         match = keys_f[fidx] == keys_c
         full_i[match] = counts_f[fidx[match]]
-    return frames, keys_c, counts_c, full_i
+    return keys_c, counts_c, full_i
 
 
 def _merge_counts(parts: list[tuple]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -406,6 +542,166 @@ def _classify_batch(
     return frames, assigned, hits_out, best
 
 
+_MI_PART_SCHEMA_TAIL = [
+    T.StructField("n_frames", T.LongType(), False),
+    T.StructField("idx", T.BinaryType(), False),
+    T.StructField("val", T.BinaryType(), False),
+]
+
+
+def _classify_mibf_sharded(
+    spark: SparkSession,
+    docs: DataFrame,
+    sketch: MIBFSketch,
+    n_segments: int,
+    per_frame_prob: np.ndarray,
+    alpha_adj: float,
+    multi_thresh: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Multi-pass miBF classification for id arrays beyond the broadcast
+    budget — the MI twin of ``categorizer._categorize_sharded``.
+
+    Pass s broadcasts ONLY slot-range segment s of the uint16 id array
+    (~``len(ids)/S`` bytes).  Each (probe, frame) entry of a document's
+    gather matrix lands in exactly one segment, so pass s emits the
+    non-empty entries it owns as a sparse (flat-index, raw-uint16) blob
+    per document; one groupBy on a per-row surrogate key reassembles the
+    full (h, n_frames) matrix and runs the normal counting + significance
+    kernels (``_count_from_gather`` + ``_decide_batch``).  Empty slots
+    (raw == 0) are never shipped — at the default 0.5 occupancy half the
+    matrix stays implicit.  Cost vs single-pass: the corpus is hashed once
+    per segment and the gather matrix rides one shuffle — the standard
+    memory/IO trade, identical to the plain-Bloom sharded path.
+    """
+    S = int(n_segments)
+    m_slots = sketch.m_slots
+    bounds = _seg_bounds(m_slots, S)
+    h, w, labels, seeds = (
+        sketch.num_hashes, sketch.shingle_w, sketch.labels, sketch.seeds,
+    )
+    L = len(labels)
+    keyed = docs.select(id_col, text_col).withColumn(
+        "__row", F.monotonically_increasing_id()
+    )
+    id_field = docs.schema[id_col]
+    part_schema = T.StructType(
+        [T.StructField("__row", T.LongType(), False), id_field]
+        + _MI_PART_SCHEMA_TAIL
+    )
+
+    def seg_pass(s: int):
+        lo, hi = int(bounds[s]), int(bounds[s + 1])
+        bc = spark.sparkContext.broadcast(sketch.ids[lo:hi].tobytes())
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # NOTE: this closure must never reference `sketch` — cloudpickle
+            # would ship the full id array in every task, defeating the shard
+            seg = np.frombuffer(bc.value, dtype=np.uint16)
+            probe = MIBFSketch(
+                m_slots, h, w, [], np.zeros(0, dtype=np.uint16), seeds
+            )
+            cache: dict = {}
+            for pdf in batches:
+                texts = pdf[text_col].to_numpy()
+                rows, offsets = _frame_hash_rows(texts, None, w, seeds, cache)
+                n_docs = offsets.size - 1
+                frames = np.diff(offsets)
+                idx_blobs: list[bytes] = [b""] * n_docs
+                val_blobs: list[bytes] = [b""] * n_docs
+                if int(offsets[-1]):
+                    pos = probe.positions_for(rows)
+                    in_seg = (pos >= lo) & (pos < hi)
+                    raw = np.zeros(pos.shape, dtype=np.uint16)
+                    raw[in_seg] = seg[pos[in_seg] - lo]
+                    ii, gg = np.nonzero(in_seg & (raw != 0))
+                    if ii.size:
+                        doc = np.searchsorted(offsets, gg, side="right") - 1
+                        order = np.argsort(doc, kind="stable")
+                        ii, gg, doc = ii[order], gg[order], doc[order]
+                        # doc-local flat index: probe_row * frames[doc] + frame
+                        e = (ii * frames[doc] + (gg - offsets[doc])).astype(
+                            np.uint32
+                        )
+                        v = raw[ii, gg]
+                        cut = np.searchsorted(doc, np.arange(n_docs + 1))
+                        for d in range(n_docs):
+                            a, b = int(cut[d]), int(cut[d + 1])
+                            if b > a:
+                                idx_blobs[d] = e[a:b].tobytes()
+                                val_blobs[d] = v[a:b].tobytes()
+                yield pd.DataFrame(
+                    {
+                        "__row": pdf["__row"].to_numpy(),
+                        id_col: pdf[id_col].to_numpy(),
+                        "n_frames": frames,
+                        "idx": idx_blobs,
+                        "val": val_blobs,
+                    }
+                )
+
+        return keyed.mapInPandas(run, schema=part_schema)
+
+    parts = seg_pass(0)
+    for s in range(1, S):
+        parts = parts.unionByName(seg_pass(s))
+    agg = parts.groupBy("__row").agg(
+        F.first(id_col).alias(id_col),
+        F.first("n_frames").alias("n_frames"),
+        F.collect_list(F.struct("idx", "val")).alias("parts"),
+    )
+    out_schema = T.StructType(
+        [
+            id_field,
+            T.StructField("n_frames", T.LongType(), False),
+            T.StructField("hits", T.ArrayType(T.StringType()), False),
+            T.StructField("assigned", T.StringType(), False),
+            T.StructField("best_score", T.DoubleType(), False),
+        ]
+    )
+    meta = MIBFSketch(
+        m_slots, h, w, list(labels), np.zeros(0, dtype=np.uint16), seeds
+    )
+
+    def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            frames = pdf["n_frames"].to_numpy().astype(np.int64)
+            offsets = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(frames, out=offsets[1:])
+            raw_b = np.zeros((h, int(offsets[-1])), dtype=np.uint16)
+            for i, row_parts in enumerate(pdf["parts"]):
+                fc = int(frames[i])
+                if fc == 0:
+                    continue
+                tmp = np.zeros(h * fc, dtype=np.uint16)
+                for p in row_parts:
+                    if len(p["idx"]):
+                        tmp[np.frombuffer(p["idx"], dtype=np.uint32)] = (
+                            np.frombuffer(p["val"], dtype=np.uint16)
+                        )
+                raw_b[:, offsets[i] : offsets[i + 1]] = tmp.reshape(h, fc)
+            keys, counts, full = _count_from_gather(
+                offsets, raw_b & ID_MASK, (raw_b & SAT_BIT) != 0, L
+            )
+            assigned, hits, best = _decide_batch(
+                n, frames, keys, counts, full, meta,
+                per_frame_prob, alpha_adj, multi_thresh,
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "n_frames": frames,
+                    "hits": hits,
+                    "assigned": assigned,
+                    "best_score": best,
+                }
+            )
+
+    return agg.mapInPandas(combine, schema=out_schema)
+
+
 def classify_mibf(
     spark: SparkSession,
     docs: DataFrame,
@@ -414,6 +710,7 @@ def classify_mibf(
     multi_thresh: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_broadcast_bytes: int | None = None,
 ) -> DataFrame:
     """Classify every document against the miBF — broadcast + one
     mapInPandas pass, zero shuffle (the MI twin of ``categorize``).
@@ -422,16 +719,30 @@ def classify_mibf(
     MIBFClassifier defaults); Bonferroni-adjusted by the label count.
     Output: (id, n_frames, hits ranked best-first, assigned, best_score
     = -10*log10 p of the best hit).
+
+    ``max_broadcast_bytes`` caps the id-array bytes broadcast per pass:
+    a sketch larger than the cap is evaluated in slot-range segments
+    (``_classify_mibf_sharded``) — the executor-memory escape hatch for
+    very large id arrays.  None = single pass (default).
     """
     from ..session import ensure_workers
 
     ensure_workers(spark)
+    per_frame_prob = sketch.per_frame_prob()
+    alpha_adj = alpha / max(1, len(sketch.labels))
+    if (
+        max_broadcast_bytes is not None
+        and sketch.ids.nbytes > max_broadcast_bytes
+    ):
+        n_seg = -(-sketch.ids.nbytes // max_broadcast_bytes)
+        return _classify_mibf_sharded(
+            spark, docs, sketch, n_seg, per_frame_prob, alpha_adj,
+            multi_thresh, id_col, text_col,
+        )
     payload = sketch.serialize()
     meta = (sketch.m_slots, sketch.num_hashes, sketch.shingle_w, sketch.labels)
     seeds = sketch.seeds
     bc = spark.sparkContext.broadcast((payload, meta, seeds))
-    per_frame_prob = sketch.per_frame_prob()
-    alpha_adj = alpha / max(1, len(sketch.labels))
     id_field = docs.schema[id_col]
     schema = T.StructType(
         [

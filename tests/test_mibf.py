@@ -133,6 +133,24 @@ class TestSketch:
                 raw = sk.ids[pos[:, lost]]
                 assert ((raw & SAT_BIT) != 0).all()
 
+    def test_sharded_saturation_matches_dense(self, spark):
+        """A broadcast cap that forces the sharded saturation path must
+        yield a byte-identical sketch (same owners, same SAT bits) — the
+        executor-memory escape hatch for the build's last full-array
+        broadcast."""
+        text = " ".join(f"t{i}" for i in range(100))
+        df = spark.createDataFrame(
+            [("a1", text, "a"), ("b1", text, "b")],
+            "doc_id string, text string, lang string",
+        )
+        dense = build_mibf(spark, df, key_col="lang", occupancy=0.5)
+        assert dense.saturation_rate() > 0.05  # the pass has real work
+        cap = dense.ids.nbytes // 3  # forces >= 3 segments
+        sharded = build_mibf(
+            spark, df, key_col="lang", occupancy=0.5, max_broadcast_bytes=cap
+        )
+        assert dense.serialize() == sharded.serialize()
+
     def test_serde_roundtrip(self, mibf):
         back = MIBFSketch.deserialize(
             mibf.serialize(), mibf.m_slots, mibf.num_hashes, mibf.shingle_w,
@@ -189,6 +207,33 @@ class TestClassify:
         # a zero window keeps only the single best hit
         row0 = classify_mibf(spark, probe, sk, multi_thresh=0).collect()[0]
         assert row0["assigned"] in ("la", "lb") and len(row0["hits"]) == 1
+
+    def test_sharded_classify_matches_single_pass(self, spark, labeled_corpus, mibf):
+        """A broadcast cap forcing >= 3 segment passes must reproduce the
+        single-pass classification byte-for-byte (assigned, ranked hits,
+        frame counts, scores) — including on noise docs where saturation
+        and empty-slot handling matter."""
+        rng = np.random.default_rng(41)
+        noise = spark.createDataFrame(
+            [(f"n{i}", t) for i, t in enumerate(_vocab_texts(rng, "zz", 10, 60))]
+            + [("empty", "one two")],  # 0-frame doc must still emit a row
+            "doc_id string, text string",
+        )
+        probe = labeled_corpus.select("doc_id", "text").unionByName(noise)
+        cap = mibf.ids.nbytes // 3
+        key = lambda r: (
+            r["assigned"], tuple(r["hits"]), r["n_frames"],
+            round(r["best_score"], 9),
+        )
+        single = {r["doc_id"]: key(r) for r in classify_mibf(spark, probe, mibf).collect()}
+        sharded = {
+            r["doc_id"]: key(r)
+            for r in classify_mibf(
+                spark, probe, mibf, max_broadcast_bytes=cap
+            ).collect()
+        }
+        assert single == sharded
+        assert len(sharded) == probe.count()
 
     def test_summary_rows(self, spark, labeled_corpus, mibf):
         res = classify_mibf(spark, labeled_corpus, mibf)
