@@ -117,18 +117,34 @@ def q_exact_filter_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bloom_categorize_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The real Bloom pipeline (approximate-membership → rows-only check;
-    exactness is pytest-verified against the exact twin above)."""
-    from biobloom_spark.config import BuildConfig
+    """The real Bloom pipeline: maker → categorizer → summary sink.
+
+    Gate design (mirrors the miBF and language-ID gates): tokens are
+    lang-prefixed so filter vocabularies are disjoint by construction —
+    every doc scores 1.0 on its own filter (Bloom has no false negatives)
+    and at fpr=1e-6 no other filter can reach the threshold via false
+    positives — so the exact DuckDB twin is per-lang doc counts (noMatch
+    for <w tokens, multiMatch never).  Realistic shared-vocabulary
+    behavior (FPR bounds, multiMatch, thresholds) is pytest-verified in
+    tests/test_e2e_spark.py instead.
+    """
+    from biobloom_spark.config import BloomParams, BuildConfig
     from biobloom_spark.operators import build_filters, categorize, load_registry, summarize
+    from biobloom_spark.sources.tables import tokens_col
 
     docs = _docs(spark, sf_dir)
+    pref = F.array_join(
+        F.transform(tokens_col("text"), lambda t: F.concat(F.col("lang"), F.lit("_"), t)),
+        " ",
+    )
+    d = docs.select("doc_id", "lang", pref.alias("text"))
     reg = build_filters(
-        spark, docs, key_col="lang", text_col="text", id_col="doc_id",
+        spark, d, key_col="lang", text_col="text", id_col="doc_id",
+        params=BloomParams(fpr=1e-6, shingle_w=SHINGLE_W),
         build=BuildConfig(num_buckets=8, merge_groups=4),
     )
     filters = load_registry(reg)
-    res = categorize(spark, docs, filters, id_col="doc_id")
+    res = categorize(spark, d, filters, id_col="doc_id")
     return summarize(res, [f["filter_id"] for f in filters])
 
 
@@ -491,8 +507,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs
             FROM documents GROUP BY 1
         """,
+        # disjoint-vocab gate: hits == unique == per-lang docs with >= w
+        # tokens; multiMatch 0; noMatch = short docs; rates are raw IEEE
+        # divisions (the comparator rounds both sides)
+        "bloom_categorize_summary": f"""
+            WITH t AS (SELECT lang, len({_TOKS}) >= {SHINGLE_W} AS has FROM documents),
+            tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM t),
+            rows_ AS (
+              SELECT lang AS filter_id,
+                     CAST(SUM(CASE WHEN has THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+                     CAST(SUM(CASE WHEN has THEN 1 ELSE 0 END) AS BIGINT) AS uniq
+              FROM t GROUP BY lang
+              UNION ALL
+              SELECT 'multiMatch', 0, 0
+              UNION ALL
+              SELECT 'noMatch',
+                     CAST(SUM(CASE WHEN has THEN 0 ELSE 1 END) AS BIGINT),
+                     CAST(SUM(CASE WHEN has THEN 0 ELSE 1 END) AS BIGINT)
+              FROM t
+            )
+            SELECT filter_id, hits, uniq AS "unique",
+                   CAST(0 AS BIGINT) AS shared,
+                   hits / total AS rate_hit,
+                   uniq / total AS rate_unique,
+                   0.0 AS rate_shared
+            FROM rows_, tot
+        """,
         # rows-only (approximate / hash-specific, pytest-verified instead):
-        # bloom_categorize_summary, minhash_lsh_dups, simhash_dups, ivf_topk
+        # minhash_lsh_dups, simhash_dups, ivf_topk
     }
 
 
