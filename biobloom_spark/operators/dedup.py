@@ -178,11 +178,25 @@ def minhash_lsh_pairs(
     Never materializes cross products: candidates only from shared
     buckets; duplicate candidate pairs from multiple bands collapsed by
     distinct before verification.
+
+    Exchange economics (the 100 TB concern): the band join and the
+    candidate dedup move only (id, band, band-hash) / (id_a, id_b) rows —
+    the ~1 KB/doc signatures ride NEITHER (at 128 perms and 32 bands the
+    old shape shipped the signature 32x through the band join and twice
+    per candidate through the dedup).  Signatures re-join the deduped
+    candidate ids once per side for verification; the signature stage is
+    persisted so the three references compute the minhash pass once.
     """
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
     r = num_perm // bands
     sigs = minhash_signatures(docs, id_col, text_col, w, num_perm)
+    if verify:
+        # three lazy references below (band join + two signature re-joins):
+        # persist so the Arrow minhash pass runs once, spilling if needed
+        from pyspark import StorageLevel
+
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
 
     band_idx = F.explode(
         F.expr(
@@ -190,19 +204,26 @@ def minhash_lsh_pairs(
             f"b -> struct(b AS band, xxhash64(concat_ws(',', slice(signature, b*{r}+1, {r}))) AS bh))"
         )
     ).alias("bb")
-    banded = sigs.select(F.col(id_col).alias("id"), "signature", band_idx).select(
-        "id", "signature", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    banded = sigs.select(F.col(id_col).alias("id"), band_idx).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
-    lhs = banded.select("band", "bh", F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
-    rhs = banded.select("band", "bh", F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))
-    cand = (
+    lhs = banded.select("band", "bh", F.col("id").alias("id_a"))
+    rhs = banded.select("band", "bh", F.col("id").alias("id_b"))
+    cand_ids = (
         lhs.join(rhs, on=["band", "bh"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     if not verify:
-        return cand.select("id_a", "id_b")
+        return cand_ids
+    cand = cand_ids.join(
+        sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a")),
+        on="id_a",
+    ).join(
+        sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b")),
+        on="id_b",
+    )
     est = F.expr(
         "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
     ) / F.lit(float(num_perm))
