@@ -396,15 +396,27 @@ def categorize_pairs(
     return docs.select(id_col, text1_col, text2_col).mapInPandas(run, schema=schema)
 
 
-def summarize(result: DataFrame, filter_ids: list[str]) -> DataFrame:
+def summarize(
+    result: DataFrame, filter_ids: list[str], explode_threshold: int = 64
+) -> DataFrame:
     """Per-filter summary counters — the ``_summary.tsv`` sink
     (ResultsManager.hpp:191-237; column semantics README.md:149-155).
 
     Rows: one per filter + ``multiMatch`` + ``noMatch``.  ``hits`` =
     documents above threshold for that filter (shared counted per filter),
     ``unique`` = sole-filter hits, ``shared`` = hits - unique; rates over
-    the total document count.  One aggregation, map-side partial.
+    the total document count.
+
+    Below ``explode_threshold`` filters: one wide aggregation (2F+2
+    expressions, map-side partial, zero shuffle of doc rows).  At or
+    above it: the hits arrays explode into tagged keys and one small
+    groupBy counts them — the wide plan's 2F+2 Catalyst expressions blow
+    up plan compilation at the thousands of labels the engine otherwise
+    supports, while the exploded plan is O(1) expressions at any F.
+    Identical output (property-tested both ways).
     """
+    if len(filter_ids) >= explode_threshold:
+        return _summarize_exploded(result, filter_ids)
     aggs = [F.count(F.lit(1)).alias("total")]
     for fid in filter_ids:
         aggs.append(
@@ -426,18 +438,55 @@ def summarize(result: DataFrame, filter_ids: list[str]) -> DataFrame:
     spark = result.sparkSession
     return spark.createDataFrame(
         rows,
-        T.StructType(
-            [
-                T.StructField("filter_id", T.StringType(), False),
-                T.StructField("hits", T.LongType(), False),
-                T.StructField("unique", T.LongType(), False),
-                T.StructField("shared", T.LongType(), False),
-                T.StructField("rate_hit", T.DoubleType(), False),
-                T.StructField("rate_unique", T.DoubleType(), False),
-                T.StructField("rate_shared", T.DoubleType(), False),
-            ]
-        ),
+        _SUMMARY_SCHEMA,
     )
+
+
+_SUMMARY_SCHEMA = T.StructType(
+    [
+        T.StructField("filter_id", T.StringType(), False),
+        T.StructField("hits", T.LongType(), False),
+        T.StructField("unique", T.LongType(), False),
+        T.StructField("shared", T.LongType(), False),
+        T.StructField("rate_hit", T.DoubleType(), False),
+        T.StructField("rate_unique", T.DoubleType(), False),
+        T.StructField("rate_shared", T.DoubleType(), False),
+    ]
+)
+
+
+def _summarize_exploded(result: DataFrame, filter_ids: list[str]) -> DataFrame:
+    """Large-filter-set summary: tag-explode instead of a 2F+2-column agg.
+
+    One scan: each doc emits 'h:<fid>' per hit plus one 'a:<assigned>',
+    a single groupBy counts the tags (small shuffle — at most 2F+2 keyed
+    partial rows per task), and the driver assembles the same rows the
+    wide path produces.  total = sum of 'a:' counts (every doc has
+    exactly one assignment)."""
+    tags = F.concat(
+        F.expr("transform(hits, h -> concat('h:', h))"),
+        F.array(F.concat(F.lit("a:"), F.col("assigned"))),
+    )
+    counts = {
+        r["k"]: int(r["cnt"])
+        for r in result.select(F.explode(tags).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    total = sum(v for k, v in counts.items() if k.startswith("a:")) or 1
+    rows = []
+    for fid in filter_ids:
+        hits = counts.get(f"h:{fid}", 0)
+        uniq = counts.get(f"a:{fid}", 0)
+        rows.append(
+            (fid, hits, uniq, hits - uniq, hits / total, uniq / total,
+             (hits - uniq) / total)
+        )
+    for special in (MULTI_MATCH, NO_MATCH):
+        n = counts.get(f"a:{special}", 0)
+        rows.append((special, n, n, 0, n / total, n / total, 0.0))
+    return result.sparkSession.createDataFrame(rows, _SUMMARY_SCHEMA)
 
 
 def summarize_fused(
@@ -516,17 +565,7 @@ def summarize_fused(
         )
     return spark.createDataFrame(
         rows,
-        T.StructType(
-            [
-                T.StructField("filter_id", T.StringType(), False),
-                T.StructField("hits", T.LongType(), False),
-                T.StructField("unique", T.LongType(), False),
-                T.StructField("shared", T.LongType(), False),
-                T.StructField("rate_hit", T.DoubleType(), False),
-                T.StructField("rate_unique", T.DoubleType(), False),
-                T.StructField("rate_shared", T.DoubleType(), False),
-            ]
-        ),
+        _SUMMARY_SCHEMA,
     )
 
 

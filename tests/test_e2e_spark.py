@@ -203,6 +203,53 @@ class TestCategorizer:
             (r["assigned"], tuple(r["hits"]), r["n_frames"]) for r in res
         ) == sorted((r["assigned"], tuple(r["hits"]), r["n_frames"]) for r in single)
 
+    def test_summarize_exploded_equals_wide(self, spark):
+        """The explode-based summary (large filter sets) must reproduce the
+        wide-agg summary exactly, and stay cheap at 600 filters where the
+        2F+2-expression wide plan would blow up Catalyst compilation."""
+        import random
+
+        from biobloom_spark.operators.categorizer import summarize
+
+        rng = random.Random(7)
+        fids = [f"f{i:03d}" for i in range(600)]
+
+        def synth(n_filters):
+            ids = fids[:n_filters]
+            rows = []
+            for d in range(400):
+                hits = sorted(rng.sample(ids, rng.choice([0, 0, 1, 1, 2, 5])))
+                assigned = (
+                    "noMatch" if not hits
+                    else hits[0] if len(hits) == 1 else "multiMatch"
+                )
+                rows.append((f"d{d}", hits, assigned))
+            return ids, spark.createDataFrame(
+                rows, "doc_id string, hits array<string>, assigned string"
+            ).cache()
+
+        # both paths agree exactly at a width the wide agg still handles
+        ids, res = synth(80)
+        key = lambda df: sorted(tuple(r) for r in df.collect())
+        assert key(summarize(res, ids, explode_threshold=10**9)) == key(
+            summarize(res, ids, explode_threshold=0)
+        )
+        # the exploded path handles 600 filters and matches a driver twin
+        ids, res = synth(600)
+        got = {r["filter_id"]: r for r in summarize(res, ids).collect()}
+        rows = res.collect()
+        total = len(rows)
+        for fid in ids[:50] + ids[-5:]:
+            hits = sum(fid in r["hits"] for r in rows)
+            uniq = sum(r["assigned"] == fid for r in rows)
+            g = got[fid]
+            assert (g["hits"], g["unique"], g["shared"]) == (hits, uniq, hits - uniq)
+            assert g["rate_hit"] == hits / total
+        assert got["noMatch"]["hits"] == sum(r["assigned"] == "noMatch" for r in rows)
+        assert got["multiMatch"]["hits"] == sum(
+            r["assigned"] == "multiMatch" for r in rows
+        )
+
     def test_assignment_accuracy(self, spark, corpus, registry):
         """With 15% shared vocabulary, most docs are uniquely assigned to
         their own language."""
