@@ -542,13 +542,6 @@ def _classify_batch(
     return frames, assigned, hits_out, best
 
 
-_MI_PART_SCHEMA_TAIL = [
-    T.StructField("n_frames", T.LongType(), False),
-    T.StructField("idx", T.BinaryType(), False),
-    T.StructField("val", T.BinaryType(), False),
-]
-
-
 def _classify_mibf_sharded(
     spark: SparkSession,
     docs: DataFrame,
@@ -558,7 +551,7 @@ def _classify_mibf_sharded(
     alpha_adj: float,
     multi_thresh: int,
     id_col: str,
-    text_col: str,
+    text_cols: list[str],
 ) -> DataFrame:
     """Multi-pass miBF classification for id arrays beyond the broadcast
     budget — the MI twin of ``categorizer._categorize_sharded``.
@@ -574,6 +567,11 @@ def _classify_mibf_sharded(
     matrix stays implicit.  Cost vs single-pass: the corpus is hashed once
     per segment and the gather matrix rides one shuffle — the standard
     memory/IO trade, identical to the plain-Bloom sharded path.
+
+    ``text_cols``: one column = single-read classify; two = paired mode
+    (per-mate matrices reassembled separately, counts summed via
+    ``_merge_counts``, the binomial test on the combined frame count —
+    the ``classify(support, seq1, seq2)`` semantics).
     """
     S = int(n_segments)
     m_slots = sketch.m_slots
@@ -582,13 +580,20 @@ def _classify_mibf_sharded(
         sketch.num_hashes, sketch.shingle_w, sketch.labels, sketch.seeds,
     )
     L = len(labels)
-    keyed = docs.select(id_col, text_col).withColumn(
+    M = len(text_cols)
+    keyed = docs.select(id_col, *text_cols).withColumn(
         "__row", F.monotonically_increasing_id()
     )
     id_field = docs.schema[id_col]
+    tail = []
+    for m in range(M):
+        tail += [
+            T.StructField(f"n_frames{m}", T.LongType(), False),
+            T.StructField(f"idx{m}", T.BinaryType(), False),
+            T.StructField(f"val{m}", T.BinaryType(), False),
+        ]
     part_schema = T.StructType(
-        [T.StructField("__row", T.LongType(), False), id_field]
-        + _MI_PART_SCHEMA_TAIL
+        [T.StructField("__row", T.LongType(), False), id_field] + tail
     )
 
     def seg_pass(s: int):
@@ -604,52 +609,50 @@ def _classify_mibf_sharded(
             )
             cache: dict = {}
             for pdf in batches:
-                texts = pdf[text_col].to_numpy()
-                rows, offsets = _frame_hash_rows(texts, None, w, seeds, cache)
-                n_docs = offsets.size - 1
-                frames = np.diff(offsets)
-                idx_blobs: list[bytes] = [b""] * n_docs
-                val_blobs: list[bytes] = [b""] * n_docs
-                if int(offsets[-1]):
-                    pos = probe.positions_for(rows)
-                    in_seg = (pos >= lo) & (pos < hi)
-                    raw = np.zeros(pos.shape, dtype=np.uint16)
-                    raw[in_seg] = seg[pos[in_seg] - lo]
-                    ii, gg = np.nonzero(in_seg & (raw != 0))
-                    if ii.size:
-                        doc = np.searchsorted(offsets, gg, side="right") - 1
-                        order = np.argsort(doc, kind="stable")
-                        ii, gg, doc = ii[order], gg[order], doc[order]
-                        # doc-local flat index: probe_row * frames[doc] + frame
-                        e = (ii * frames[doc] + (gg - offsets[doc])).astype(
-                            np.uint32
-                        )
-                        v = raw[ii, gg]
-                        cut = np.searchsorted(doc, np.arange(n_docs + 1))
-                        for d in range(n_docs):
-                            a, b = int(cut[d]), int(cut[d + 1])
-                            if b > a:
-                                idx_blobs[d] = e[a:b].tobytes()
-                                val_blobs[d] = v[a:b].tobytes()
-                yield pd.DataFrame(
-                    {
-                        "__row": pdf["__row"].to_numpy(),
-                        id_col: pdf[id_col].to_numpy(),
-                        "n_frames": frames,
-                        "idx": idx_blobs,
-                        "val": val_blobs,
-                    }
-                )
+                out = {"__row": pdf["__row"].to_numpy(), id_col: pdf[id_col].to_numpy()}
+                for m, tcol in enumerate(text_cols):
+                    texts = pdf[tcol].fillna("").to_numpy()
+                    rows, offsets = _frame_hash_rows(texts, None, w, seeds, cache)
+                    n_docs = offsets.size - 1
+                    frames = np.diff(offsets)
+                    idx_blobs: list[bytes] = [b""] * n_docs
+                    val_blobs: list[bytes] = [b""] * n_docs
+                    if int(offsets[-1]):
+                        pos = probe.positions_for(rows)
+                        in_seg = (pos >= lo) & (pos < hi)
+                        raw = np.zeros(pos.shape, dtype=np.uint16)
+                        raw[in_seg] = seg[pos[in_seg] - lo]
+                        ii, gg = np.nonzero(in_seg & (raw != 0))
+                        if ii.size:
+                            doc = np.searchsorted(offsets, gg, side="right") - 1
+                            order = np.argsort(doc, kind="stable")
+                            ii, gg, doc = ii[order], gg[order], doc[order]
+                            # doc-local flat index: probe_row*frames[doc]+frame
+                            e = (ii * frames[doc] + (gg - offsets[doc])).astype(
+                                np.uint32
+                            )
+                            v = raw[ii, gg]
+                            cut = np.searchsorted(doc, np.arange(n_docs + 1))
+                            for d in range(n_docs):
+                                a, b = int(cut[d]), int(cut[d + 1])
+                                if b > a:
+                                    idx_blobs[d] = e[a:b].tobytes()
+                                    val_blobs[d] = v[a:b].tobytes()
+                    out[f"n_frames{m}"] = frames
+                    out[f"idx{m}"] = idx_blobs
+                    out[f"val{m}"] = val_blobs
+                yield pd.DataFrame(out)
 
         return keyed.mapInPandas(run, schema=part_schema)
 
     parts = seg_pass(0)
     for s in range(1, S):
         parts = parts.unionByName(seg_pass(s))
+    blob_cols = [c for m in range(M) for c in (f"idx{m}", f"val{m}")]
     agg = parts.groupBy("__row").agg(
         F.first(id_col).alias(id_col),
-        F.first("n_frames").alias("n_frames"),
-        F.collect_list(F.struct("idx", "val")).alias("parts"),
+        *[F.first(f"n_frames{m}").alias(f"n_frames{m}") for m in range(M)],
+        F.collect_list(F.struct(*blob_cols)).alias("parts"),
     )
     out_schema = T.StructType(
         [
@@ -667,32 +670,41 @@ def _classify_mibf_sharded(
     def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n = len(pdf)
-            frames = pdf["n_frames"].to_numpy().astype(np.int64)
-            offsets = np.zeros(n + 1, dtype=np.int64)
-            np.cumsum(frames, out=offsets[1:])
-            raw_b = np.zeros((h, int(offsets[-1])), dtype=np.uint16)
-            for i, row_parts in enumerate(pdf["parts"]):
-                fc = int(frames[i])
-                if fc == 0:
-                    continue
-                tmp = np.zeros(h * fc, dtype=np.uint16)
-                for p in row_parts:
-                    if len(p["idx"]):
-                        tmp[np.frombuffer(p["idx"], dtype=np.uint32)] = (
-                            np.frombuffer(p["val"], dtype=np.uint16)
-                        )
-                raw_b[:, offsets[i] : offsets[i + 1]] = tmp.reshape(h, fc)
-            keys, counts, full = _count_from_gather(
-                offsets, raw_b & ID_MASK, (raw_b & SAT_BIT) != 0, L
+            mate_counts = []
+            frames_total = np.zeros(n, dtype=np.int64)
+            for m in range(M):
+                frames = pdf[f"n_frames{m}"].to_numpy().astype(np.int64)
+                frames_total += frames
+                offsets = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(frames, out=offsets[1:])
+                raw_b = np.zeros((h, int(offsets[-1])), dtype=np.uint16)
+                for i, row_parts in enumerate(pdf["parts"]):
+                    fc = int(frames[i])
+                    if fc == 0:
+                        continue
+                    tmp = np.zeros(h * fc, dtype=np.uint16)
+                    for p in row_parts:
+                        if len(p[f"idx{m}"]):
+                            tmp[np.frombuffer(p[f"idx{m}"], dtype=np.uint32)] = (
+                                np.frombuffer(p[f"val{m}"], dtype=np.uint16)
+                            )
+                    raw_b[:, offsets[i] : offsets[i + 1]] = tmp.reshape(h, fc)
+                mate_counts.append(
+                    _count_from_gather(
+                        offsets, raw_b & ID_MASK, (raw_b & SAT_BIT) != 0, L
+                    )
+                )
+            keys, counts, full = (
+                mate_counts[0] if M == 1 else _merge_counts(mate_counts)
             )
             assigned, hits, best = _decide_batch(
-                n, frames, keys, counts, full, meta,
+                n, frames_total, keys, counts, full, meta,
                 per_frame_prob, alpha_adj, multi_thresh,
             )
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
-                    "n_frames": frames,
+                    "n_frames": frames_total,
                     "hits": hits,
                     "assigned": assigned,
                     "best_score": best,
@@ -737,7 +749,7 @@ def classify_mibf(
         n_seg = -(-sketch.ids.nbytes // max_broadcast_bytes)
         return _classify_mibf_sharded(
             spark, docs, sketch, n_seg, per_frame_prob, alpha_adj,
-            multi_thresh, id_col, text_col,
+            multi_thresh, id_col, [text_col],
         )
     payload = sketch.serialize()
     meta = (sketch.m_slots, sketch.num_hashes, sketch.shingle_w, sketch.labels)
@@ -785,6 +797,7 @@ def classify_mibf_pairs(
     id_col: str = "doc_id",
     text1_col: str = "text1",
     text2_col: str = "text2",
+    max_broadcast_bytes: int | None = None,
 ) -> DataFrame:
     """Paired miBF classification (``-e``): both mates' per-ID counts SUM
     and the binomial test runs on the combined frame count — the
@@ -792,16 +805,29 @@ def classify_mibf_pairs(
     ``filterPairedRead`` (MIBFClassifier.hpp:753-835), where
     ``support.query(itr1, itr2, minCount)`` accumulates one count set
     over both reads.  A null/short mate contributes zero frames.
+
+    ``max_broadcast_bytes``: same sharded escape hatch as
+    ``classify_mibf`` (per-mate gather matrices reassembled, counts
+    summed before the significance test).
     """
     from ..session import ensure_workers
 
     ensure_workers(spark)
+    per_frame_prob = sketch.per_frame_prob()
+    alpha_adj = alpha / max(1, len(sketch.labels))
+    if (
+        max_broadcast_bytes is not None
+        and sketch.ids.nbytes > max_broadcast_bytes
+    ):
+        n_seg = -(-sketch.ids.nbytes // max_broadcast_bytes)
+        return _classify_mibf_sharded(
+            spark, docs, sketch, n_seg, per_frame_prob, alpha_adj,
+            multi_thresh, id_col, [text1_col, text2_col],
+        )
     payload = sketch.serialize()
     meta = (sketch.m_slots, sketch.num_hashes, sketch.shingle_w, sketch.labels)
     seeds = sketch.seeds
     bc = spark.sparkContext.broadcast((payload, meta, seeds))
-    per_frame_prob = sketch.per_frame_prob()
-    alpha_adj = alpha / max(1, len(sketch.labels))
     id_field = docs.schema[id_col]
     schema = T.StructType(
         [

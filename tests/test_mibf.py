@@ -347,6 +347,33 @@ class TestPairedClassify:
         correct = sum(r["assigned"] == r["lang"] for r in rows)
         assert correct / len(rows) >= 0.95
 
+    def test_sharded_pairs_match_single_pass(self, spark, labeled_corpus, mibf):
+        """The sharded escape hatch must reproduce paired classification
+        byte-for-byte, including null mates."""
+        from biobloom_spark.operators.mibf import classify_mibf_pairs
+
+        pairs = labeled_corpus.limit(40).select(
+            "doc_id",
+            F.array_join(F.slice(F.split("text", " "), 1, 30), " ").alias("text1"),
+            F.when(
+                F.col("doc_id").contains("-1"), F.lit(None).cast("string")
+            ).otherwise(
+                F.array_join(F.slice(F.split("text", " "), 31, 30), " ")
+            ).alias("text2"),
+        )
+        key = lambda r: (
+            r["assigned"], tuple(r["hits"]), r["n_frames"],
+            round(r["best_score"], 9),
+        )
+        dense = {r["doc_id"]: key(r) for r in classify_mibf_pairs(spark, pairs, mibf).collect()}
+        sharded = {
+            r["doc_id"]: key(r)
+            for r in classify_mibf_pairs(
+                spark, pairs, mibf, max_broadcast_bytes=mibf.ids.nbytes // 3
+            ).collect()
+        }
+        assert dense == sharded
+
     def test_merge_counts_sums_keyed(self):
         from biobloom_spark.operators.mibf import _merge_counts
 
