@@ -409,14 +409,24 @@ def _cmd_mimaker(argv: list[str]) -> int:
     ap.add_argument("-t", "--threads", type=int, default=0)
     ap.add_argument("--key-col", default=None,
                     help="parquet mode: label column (e.g. lang)")
+    ap.add_argument("--no-canonical", action="store_true",
+                    help="DNA inputs: hash forward-strand only "
+                    "(default hashes canonically, matching the reference "
+                    "miBF's ntHash semantics)")
+    ap.add_argument("--nthash", action="store_true",
+                    help="hash k-mers with the published ntHash NTC64/NTM64 "
+                    "family (canonical by construction; k-mer mode only)")
     args = ap.parse_args(argv)
+    if args.nthash and args.seed_str:
+        ap.error("--nthash is k-mer mode only (spaced seeds are poly-family)")
 
     from pyspark.sql import functions as F
 
     from .operators.mibf import build_mibf, save_mibf
 
     spark = _spark(args.threads)
-    if all(_is_parquet(f) for f in args.files):
+    dna_mode = not all(_is_parquet(f) for f in args.files)
+    if not dna_mode:
         docs = spark.read.parquet(*args.files)
         key_col = args.key_col or "lang"
     else:
@@ -438,6 +448,9 @@ def _cmd_mimaker(argv: list[str]) -> int:
         num_hashes=args.hash_num, occupancy=args.occupancy,
         seeds=args.seed_str.split() if args.seed_str else None,
         expected_entries=args.num_ele or None,
+        canonical=(dna_mode and not args.no_canonical and not args.nthash
+                   and not args.seed_str),
+        hash_family="nthash" if args.nthash else "poly",
     )
     os.makedirs(args.output_dir, exist_ok=True)
     path = os.path.join(args.output_dir, f"{args.file_prefix}_mibf.parquet")

@@ -38,7 +38,7 @@ from pyspark.sql import types as T
 
 from ..config import MULTI_MATCH, NO_MATCH
 from ..functions.stats import log_binom_sf
-from ..functions.text import batch_doc_shingles
+from ..functions.text import batch_doc_shingles, batch_frames
 from ..sketch.mibf import (
     ID_MASK,
     MAX_LABELS,
@@ -77,6 +77,21 @@ _SAT_SCHEMA = T.StructType(
 )
 
 
+_MAX_SHARD_SEGMENTS = 128
+
+
+def _clamp_segments(n_seg: int) -> int:
+    """Plan-size guard for the sharded passes: each slot-range segment is
+    its own mapInPandas leg in one union, so a degenerate
+    ``max_broadcast_bytes`` (e.g. 1) must not turn into a 100k-leg plan
+    that stalls Catalyst analysis.  128 passes x a rehash of the corpus is
+    already past the point where a larger per-pass budget is the right
+    call; beyond the clamp the per-pass broadcast simply exceeds the cap
+    (documented trade, never wrong results).
+    """
+    return max(1, min(int(n_seg), _MAX_SHARD_SEGMENTS))
+
+
 def _seg_bounds(m_slots: int, n_segments: int) -> np.ndarray:
     """Slot-range segment boundaries: int64[n_segments+1], segment s spans
     ``[bounds[s], bounds[s+1])``.  Proportional split — claim slots are
@@ -84,12 +99,19 @@ def _seg_bounds(m_slots: int, n_segments: int) -> np.ndarray:
     return (np.arange(n_segments + 1, dtype=np.int64) * m_slots) // n_segments
 
 
-def _frame_hash_rows(texts, labels_idx, w: int, seeds, cache: dict):
+def _frame_hash_rows(
+    texts, labels_idx, w: int, seeds, cache: dict,
+    canonical: bool = False, hash_family: str = "poly",
+):
     """Per label group → (hash rows, offsets).  k-mer mode: (1D hashes,
-    offsets); seed mode: ((h, n) rows, offsets)."""
-    frames, offsets, tok_hashes, tok_counts = batch_doc_shingles(texts, w, cache)
+    offsets — poly, canonical-poly, or NTC64 per ``hash_family``); seed
+    mode: ((h, n) rows, offsets)."""
     if seeds is None:
+        frames, offsets, _th, _tc = batch_frames(
+            texts, w, cache, canonical=canonical, hash_family=hash_family
+        )
         return frames, offsets
+    _fr, _off, tok_hashes, tok_counts = batch_doc_shingles(texts, w, cache)
     rows, offsets2 = flat_seed_hashes(tok_hashes, tok_counts, w, seeds)
     return rows, offsets2
 
@@ -106,8 +128,17 @@ def build_mibf(
     expected_entries: int | None = None,
     merge_segments: int = 16,
     max_broadcast_bytes: int | None = None,
+    canonical: bool = False,
+    hash_family: str = "poly",
 ) -> MIBFSketch:
     """Build one miBF over all values of ``key_col`` (labels).
+
+    ``hash_family``/``canonical`` select the frame hasher (k-mer mode
+    only; the reference miBF hashes through canonical ntHash —
+    MIBFGen.hpp's ntHashIterator): "poly" = token shingles,
+    optionally strand-canonical; "nthash" = published NTC64 base k-mers
+    over the de-spaced text with NTM64 probe positions (canonical by
+    construction).  Spaced-seed mode is poly-only.
 
     Passes (MIBFGen.hpp:131-309 analog):
     1. sizing: frames upper bound → slots for the target occupancy
@@ -135,6 +166,10 @@ def build_mibf(
 
     ensure_workers(spark)
     seed_arr = seed_masks_to_arrays(seeds, shingle_w)
+    if seed_arr is not None and (hash_family != "poly" or canonical):
+        raise ValueError("spaced-seed miBF mode is poly-family only")
+    if hash_family == "nthash" and canonical:
+        canonical = False  # NTC64 is canonical by construction
     h = seed_arr.shape[0] if seed_arr is not None else num_hashes
 
     docs = docs.filter(F.col(key_col).isNotNull() & F.col(text_col).isNotNull())
@@ -165,7 +200,8 @@ def build_mibf(
         cache: dict = {}
         parts: list[MIBFClaims] = []
         probe = MIBFSketch(
-            m_slots, h, shingle_w, [], np.zeros(0, dtype=np.uint16), seed_arr
+            m_slots, h, shingle_w, [], np.zeros(0, dtype=np.uint16), seed_arr,
+            hash_family, canonical,
         )
         for pdf in batches:
             for lab, grp in pdf.groupby("__label"):
@@ -173,7 +209,8 @@ def build_mibf(
                 if li is None:
                     continue
                 rows, _off = _frame_hash_rows(
-                    grp["__text"].to_numpy(), None, shingle_w, seed_arr, cache
+                    grp["__text"].to_numpy(), None, shingle_w, seed_arr, cache,
+                    canonical, hash_family,
                 )
                 if rows.size == 0:
                     continue
@@ -212,11 +249,13 @@ def build_mibf(
     ).collect():
         s = int(r["seg"])
         ids[bounds[s] : bounds[s + 1]] = np.frombuffer(bytes(r["ids"]), dtype=np.uint16)
-    sketch = MIBFSketch(m_slots, h, shingle_w, labels, ids, seed_arr)
+    sketch = MIBFSketch(
+        m_slots, h, shingle_w, labels, ids, seed_arr, hash_family, canonical
+    )
 
     # --- saturation pass (insertSaturation, MIBFGen.hpp:196-223) ----------
     if max_broadcast_bytes is not None and sketch.ids.nbytes > max_broadcast_bytes:
-        n_seg = -(-sketch.ids.nbytes // max_broadcast_bytes)
+        n_seg = _clamp_segments(-(-sketch.ids.nbytes // max_broadcast_bytes))
         _saturate_sharded(spark, base, sketch, bc_map, n_seg)
         return sketch
     bc_ids = spark.sparkContext.broadcast(sketch.serialize())
@@ -224,7 +263,8 @@ def build_mibf(
     def sat_pass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         lmap = bc_map.value
         resolved = MIBFSketch.deserialize(
-            bc_ids.value, m_slots, h, shingle_w, labels, seed_arr
+            bc_ids.value, m_slots, h, shingle_w, labels, seed_arr,
+            hash_family=hash_family, canonical=canonical,
         )
         cache: dict = {}
         sat: list[np.ndarray] = []
@@ -234,7 +274,8 @@ def build_mibf(
                 if li is None:
                     continue
                 rows, _off = _frame_hash_rows(
-                    grp["__text"].to_numpy(), None, shingle_w, seed_arr, cache
+                    grp["__text"].to_numpy(), None, shingle_w, seed_arr, cache,
+                    canonical, hash_family,
                 )
                 if rows.size == 0:
                     continue
@@ -296,6 +337,7 @@ def _saturate_sharded(
     m_slots, h, w, seeds = (
         sketch.m_slots, sketch.num_hashes, sketch.shingle_w, sketch.seeds,
     )
+    family, canonical = sketch.hash_family, sketch.canonical
     bounds = _seg_bounds(m_slots, S)
     keyed = base.withColumn("__row", F.monotonically_increasing_id())
     entry_schema = T.StructType(
@@ -315,7 +357,8 @@ def _saturate_sharded(
             # must not close over `sketch` (would ship the full id array)
             seg = np.frombuffer(bc_seg.value, dtype=np.uint16)
             probe = MIBFSketch(
-                m_slots, h, w, [], np.zeros(0, dtype=np.uint16), seeds
+                m_slots, h, w, [], np.zeros(0, dtype=np.uint16), seeds,
+                family, canonical,
             )
             lmap = bc_map.value
             cache: dict = {}
@@ -326,7 +369,8 @@ def _saturate_sharded(
                     if li is None:
                         continue
                     rows_h, offsets = _frame_hash_rows(
-                        grp["__text"].to_numpy(), None, w, seeds, cache
+                        grp["__text"].to_numpy(), None, w, seeds, cache,
+                        canonical, family,
                     )
                     if rows_h.size == 0 or int(offsets[-1]) == 0:
                         continue
@@ -393,7 +437,9 @@ def _count_batch(texts: np.ndarray, sketch: MIBFSketch, cache: dict):
     MIBFClassifier.hpp:802-835 ``classify(support, seq1, seq2)``).
     """
     w, L = sketch.shingle_w, len(sketch.labels)
-    rows, offsets = _frame_hash_rows(texts, None, w, sketch.seeds, cache)
+    rows, offsets = _frame_hash_rows(
+        texts, None, w, sketch.seeds, cache, sketch.canonical, sketch.hash_family
+    )
     frames = np.diff(offsets)
     if int(offsets[-1]) == 0:
         empty = np.empty(0, dtype=np.int64)
@@ -579,6 +625,7 @@ def _classify_mibf_sharded(
     h, w, labels, seeds = (
         sketch.num_hashes, sketch.shingle_w, sketch.labels, sketch.seeds,
     )
+    family, canonical = sketch.hash_family, sketch.canonical
     L = len(labels)
     M = len(text_cols)
     keyed = docs.select(id_col, *text_cols).withColumn(
@@ -605,14 +652,17 @@ def _classify_mibf_sharded(
             # would ship the full id array in every task, defeating the shard
             seg = np.frombuffer(bc.value, dtype=np.uint16)
             probe = MIBFSketch(
-                m_slots, h, w, [], np.zeros(0, dtype=np.uint16), seeds
+                m_slots, h, w, [], np.zeros(0, dtype=np.uint16), seeds,
+                family, canonical,
             )
             cache: dict = {}
             for pdf in batches:
                 out = {"__row": pdf["__row"].to_numpy(), id_col: pdf[id_col].to_numpy()}
                 for m, tcol in enumerate(text_cols):
                     texts = pdf[tcol].fillna("").to_numpy()
-                    rows, offsets = _frame_hash_rows(texts, None, w, seeds, cache)
+                    rows, offsets = _frame_hash_rows(
+                        texts, None, w, seeds, cache, canonical, family
+                    )
                     n_docs = offsets.size - 1
                     frames = np.diff(offsets)
                     idx_blobs: list[bytes] = [b""] * n_docs
@@ -664,7 +714,8 @@ def _classify_mibf_sharded(
         ]
     )
     meta = MIBFSketch(
-        m_slots, h, w, list(labels), np.zeros(0, dtype=np.uint16), seeds
+        m_slots, h, w, list(labels), np.zeros(0, dtype=np.uint16), seeds,
+        family, canonical,
     )
 
     def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -746,13 +797,14 @@ def classify_mibf(
         max_broadcast_bytes is not None
         and sketch.ids.nbytes > max_broadcast_bytes
     ):
-        n_seg = -(-sketch.ids.nbytes // max_broadcast_bytes)
+        n_seg = _clamp_segments(-(-sketch.ids.nbytes // max_broadcast_bytes))
         return _classify_mibf_sharded(
             spark, docs, sketch, n_seg, per_frame_prob, alpha_adj,
             multi_thresh, id_col, [text_col],
         )
     payload = sketch.serialize()
-    meta = (sketch.m_slots, sketch.num_hashes, sketch.shingle_w, sketch.labels)
+    meta = (sketch.m_slots, sketch.num_hashes, sketch.shingle_w, sketch.labels,
+            sketch.hash_family, sketch.canonical)
     seeds = sketch.seeds
     bc = spark.sparkContext.broadcast((payload, meta, seeds))
     id_field = docs.schema[id_col]
@@ -767,8 +819,10 @@ def classify_mibf(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pl, (m, h, w, labels), sd = bc.value
-        sk = MIBFSketch.deserialize(pl, m, h, w, labels, sd)
+        pl, (m, h, w, labels, fam, canon), sd = bc.value
+        sk = MIBFSketch.deserialize(
+            pl, m, h, w, labels, sd, hash_family=fam, canonical=canon
+        )
         cache: dict = {}
         for pdf in batches:
             frames, assigned, hits, best = _classify_batch(
@@ -819,13 +873,14 @@ def classify_mibf_pairs(
         max_broadcast_bytes is not None
         and sketch.ids.nbytes > max_broadcast_bytes
     ):
-        n_seg = -(-sketch.ids.nbytes // max_broadcast_bytes)
+        n_seg = _clamp_segments(-(-sketch.ids.nbytes // max_broadcast_bytes))
         return _classify_mibf_sharded(
             spark, docs, sketch, n_seg, per_frame_prob, alpha_adj,
             multi_thresh, id_col, [text1_col, text2_col],
         )
     payload = sketch.serialize()
-    meta = (sketch.m_slots, sketch.num_hashes, sketch.shingle_w, sketch.labels)
+    meta = (sketch.m_slots, sketch.num_hashes, sketch.shingle_w, sketch.labels,
+            sketch.hash_family, sketch.canonical)
     seeds = sketch.seeds
     bc = spark.sparkContext.broadcast((payload, meta, seeds))
     id_field = docs.schema[id_col]
@@ -840,8 +895,10 @@ def classify_mibf_pairs(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pl, (m, h, w, labels), sd = bc.value
-        sk = MIBFSketch.deserialize(pl, m, h, w, labels, sd)
+        pl, (m, h, w, labels, fam, canon), sd = bc.value
+        sk = MIBFSketch.deserialize(
+            pl, m, h, w, labels, sd, hash_family=fam, canonical=canon
+        )
         cache: dict = {}
         for pdf in batches:
             t1 = pdf[text1_col].fillna("").to_numpy()
@@ -875,6 +932,8 @@ _MIBF_SCHEMA = T.StructType(
         T.StructField("labels", T.ArrayType(T.StringType()), False),
         T.StructField("seeds", T.ArrayType(T.StringType()), True),
         T.StructField("ids", T.BinaryType(), False),
+        T.StructField("hash_family", T.StringType(), True),
+        T.StructField("canonical", T.BooleanType(), True),
     ]
 )
 
@@ -887,18 +946,22 @@ def save_mibf(spark: SparkSession, sketch: MIBFSketch, path: str) -> None:
         seeds = ["".join("1" if b else "0" for b in row) for row in sketch.seeds]
     spark.createDataFrame(
         [(sketch.m_slots, sketch.num_hashes, sketch.shingle_w,
-          list(sketch.labels), seeds, sketch.serialize())],
+          list(sketch.labels), seeds, sketch.serialize(),
+          sketch.hash_family, sketch.canonical)],
         _MIBF_SCHEMA,
     ).write.mode("overwrite").parquet(path)
 
 
 def load_mibf(spark: SparkSession, path: str) -> MIBFSketch:
-    r = spark.read.parquet(path).collect()[0]
+    r = spark.read.parquet(path).collect()[0].asDict()
     seeds = seed_masks_to_arrays(list(r["seeds"]) if r["seeds"] else None,
                                  int(r["shingle_w"]))
     return MIBFSketch.deserialize(
         bytes(r["ids"]), int(r["m_slots"]), int(r["num_hashes"]),
         int(r["shingle_w"]), list(r["labels"]), seeds, copy=True,
+        # pre-round-4 saves carry no family columns → poly, non-canonical
+        hash_family=str(r.get("hash_family") or "poly"),
+        canonical=bool(r.get("canonical") or False),
     )
 
 

@@ -236,24 +236,54 @@ class MIBFSketch:
     labels: list[str]
     ids: np.ndarray  # uint16[m_slots]
     seeds: np.ndarray | None = None  # bool (h, w) skip-gram masks, None = k-mer mode
+    #: frame-hash family: "poly" = native polynomial token shingles (K-M
+    #: probe positions); "nthash" = published NTC64 base k-mers with NTM64
+    #: probe positions (the reference miBF's own hashing — MIBFGen.hpp uses
+    #: ntHashIterator; canonical by construction).  Seed mode is poly-only
+    #: (flat_seed_hashes consumes token hashes).
+    hash_family: str = "poly"
+    #: strand-invariant poly hashing (min of fw/rc frame hashes) — the
+    #: DNA-mode twin of the plain-Bloom BloomParams.canonical.  Irrelevant
+    #: under nthash (NTC64 is canonical already).
+    canonical: bool = False
+
+    def __post_init__(self) -> None:
+        if self.hash_family not in ("poly", "nthash"):
+            raise ValueError(f"unknown miBF hash family {self.hash_family!r}")
+        if self.seeds is not None and (self.hash_family != "poly" or self.canonical):
+            raise ValueError(
+                "spaced-seed miBF mode is poly-family only (seed hashes are "
+                "token-level skip-grams); use hash_family='poly', canonical=False"
+            )
 
     @classmethod
     def from_claims(
         cls, claims: MIBFClaims, m_slots: int, num_hashes: int, shingle_w: int,
         labels: list[str], seeds: np.ndarray | None = None,
+        hash_family: str = "poly", canonical: bool = False,
     ) -> "MIBFSketch":
         if len(labels) > MAX_LABELS:
             raise ValueError(f"miBF supports at most {MAX_LABELS} labels")
         ids = np.zeros(m_slots, dtype=np.uint16)
         ids[claims.slots] = (claims.ties & _TIE_LABEL_MASK).astype(np.uint16)
-        return cls(m_slots, num_hashes, shingle_w, labels, ids, seeds)
+        return cls(m_slots, num_hashes, shingle_w, labels, ids, seeds,
+                   hash_family, canonical)
 
     # -- population --------------------------------------------------------
     def positions_for(self, frame_hashes_or_rows: np.ndarray) -> np.ndarray:
-        """(h, n) probe positions: K-M in k-mer mode, per-seed in seed mode."""
-        if self.seeds is None:
-            return _probe_positions(frame_hashes_or_rows, self.num_hashes, self.m_slots)
-        return seed_positions(frame_hashes_or_rows, self.m_slots)
+        """(h, n) probe positions: K-M in k-mer mode (poly family), NTM64
+        in nthash mode, per-seed in seed mode."""
+        if self.seeds is not None:
+            return seed_positions(frame_hashes_or_rows, self.m_slots)
+        if self.hash_family == "nthash":
+            from .nthash import nt_positions
+
+            # NTM64 variants mod slot count — same convention as the
+            # plain-Bloom nthash probe, with slots instead of bits
+            return nt_positions(
+                frame_hashes_or_rows, self.shingle_w, self.num_hashes, self.m_slots
+            )
+        return _probe_positions(frame_hashes_or_rows, self.num_hashes, self.m_slots)
 
     def lost_elements(self, positions: np.ndarray, label_idx: int) -> np.ndarray:
         """Bool per frame: True when NO probe slot is owned by the label —
@@ -301,6 +331,8 @@ class MIBFSketch:
     def deserialize(
         cls, payload: bytes, m_slots: int, num_hashes: int, shingle_w: int,
         labels: list[str], seeds: np.ndarray | None = None, copy: bool = False,
+        hash_family: str = "poly", canonical: bool = False,
     ) -> "MIBFSketch":
         arr = np.frombuffer(payload, dtype=np.uint16)
-        return cls(m_slots, num_hashes, shingle_w, labels, arr.copy() if copy else arr, seeds)
+        return cls(m_slots, num_hashes, shingle_w, labels,
+                   arr.copy() if copy else arr, seeds, hash_family, canonical)

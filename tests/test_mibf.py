@@ -387,3 +387,127 @@ class TestPairedClassify:
         assert keys.tolist() == [3, 7, 9, 11]
         assert counts.tolist() == [2, 8, 1, 6]
         assert full.tolist() == [1, 6, 0, 6]
+
+
+def _dna_reads(rng, genome: str, n: int, read_len: int = 150):
+    starts = rng.integers(0, len(genome) - read_len, n)
+    return [" ".join(genome[int(s) : int(s) + read_len]) for s in starts]
+
+
+@pytest.fixture(scope="module")
+def dna_corpus(spark):
+    """Three synthetic genomes; training reads are forward-strand slices
+    (space-separated bases — the char-token contract of the DNA CLI)."""
+    rng = np.random.default_rng(77)
+    genomes = {
+        lab: "".join(rng.choice(list("ACGT"), 3000))
+        for lab in ("eco", "hum", "yst")
+    }
+    rows = []
+    for lab, g in genomes.items():
+        for i, text in enumerate(_dna_reads(rng, g, 30)):
+            rows.append((f"{lab}-{i}", text, lab))
+    df = spark.createDataFrame(
+        rows, "doc_id string, text string, lang string"
+    ).cache()
+    return genomes, df
+
+
+def _rc_reads(df):
+    """Reverse-complement every read (revcomp maps spaces to themselves,
+    so the space-separated base layout is preserved)."""
+    from biobloom_spark.functions.text import revcomp
+
+    return [(r["doc_id"], revcomp(r["text"]), r["lang"]) for r in df.collect()]
+
+
+class TestHashFamilies:
+    """Canonical / ntHash miBF modes (round-4: the MI twin of the plain
+    Bloom path's round-3 canonical + published-ntHash support; the
+    reference miBF hashes through canonical ntHash — MIBFGen.hpp's
+    ntHashIterator / stHashIterator)."""
+
+    K = 15
+
+    def _accuracy(self, spark, sketch, rows):
+        df = spark.createDataFrame(rows, "doc_id string, text string, lang string")
+        res = classify_mibf(spark, df, sketch, id_col="doc_id").collect()
+        truth = {r[0]: r[2] for r in rows}
+        ok = sum(1 for r in res if r["assigned"] == truth[r["doc_id"]])
+        return ok / len(res)
+
+    def test_canonical_poly_classifies_reverse_strand(self, spark, dna_corpus):
+        _, df = dna_corpus
+        sk = build_mibf(
+            spark, df, key_col="lang", shingle_w=self.K, canonical=True
+        )
+        fw = [(r["doc_id"], r["text"], r["lang"]) for r in df.collect()]
+        rc = _rc_reads(df)
+        assert self._accuracy(spark, sk, fw) >= 0.95
+        assert self._accuracy(spark, sk, rc) >= 0.95
+
+    def test_noncanonical_poly_misses_reverse_strand(self, spark, dna_corpus):
+        _, df = dna_corpus
+        sk = build_mibf(
+            spark, df, key_col="lang", shingle_w=self.K, canonical=False
+        )
+        # fw-only filter: rc reads share no frames with the build
+        assert self._accuracy(spark, sk, _rc_reads(df)) <= 0.05
+
+    def test_nthash_classifies_both_strands(self, spark, dna_corpus):
+        _, df = dna_corpus
+        sk = build_mibf(
+            spark, df, key_col="lang", shingle_w=self.K, hash_family="nthash"
+        )
+        assert sk.hash_family == "nthash"
+        fw = [(r["doc_id"], r["text"], r["lang"]) for r in df.collect()]
+        assert self._accuracy(spark, sk, fw) >= 0.95
+        # NTC64 is canonical by construction
+        assert self._accuracy(spark, sk, _rc_reads(df)) >= 0.95
+
+    def test_nthash_serde_roundtrip(self, spark, dna_corpus, tmp_path):
+        from biobloom_spark.operators.mibf import load_mibf, save_mibf
+
+        _, df = dna_corpus
+        sk = build_mibf(
+            spark, df, key_col="lang", shingle_w=self.K, hash_family="nthash"
+        )
+        save_mibf(spark, sk, str(tmp_path / "mi_nthash.parquet"))
+        lo = load_mibf(spark, str(tmp_path / "mi_nthash.parquet"))
+        assert (lo.hash_family, lo.canonical) == ("nthash", False)
+        assert np.array_equal(lo.ids, sk.ids)
+        fw = [(r["doc_id"], r["text"], r["lang"]) for r in df.collect()]
+        assert self._accuracy(spark, lo, fw) >= 0.95
+
+    def test_sharded_classify_matches_single_pass_nthash(self, spark, dna_corpus):
+        _, df = dna_corpus
+        sk = build_mibf(
+            spark, df, key_col="lang", shingle_w=self.K, hash_family="nthash",
+            max_broadcast_bytes=30_000,  # forces a multi-segment saturation pass
+        )
+        key = lambda r: (
+            r["assigned"], tuple(r["hits"]), r["n_frames"],
+            round(r["best_score"], 9),
+        )
+        dense = {r["doc_id"]: key(r) for r in classify_mibf(spark, df, sk, id_col="doc_id").collect()}
+        sharded = {
+            r["doc_id"]: key(r)
+            for r in classify_mibf(
+                spark, df, sk, id_col="doc_id",
+                max_broadcast_bytes=sk.ids.nbytes // 3,
+            ).collect()
+        }
+        assert dense == sharded
+
+    def test_seed_mode_rejects_nonpoly(self, spark, dna_corpus):
+        _, df = dna_corpus
+        with pytest.raises(ValueError, match="poly-family only"):
+            build_mibf(
+                spark, df, key_col="lang", shingle_w=5,
+                seeds=["10101", "11011"], hash_family="nthash",
+            )
+        with pytest.raises(ValueError, match="poly-family only"):
+            MIBFSketch(
+                64, 2, 5, [], np.zeros(64, dtype=np.uint16),
+                seed_masks_to_arrays(["10101"], 5), canonical=True,
+            )
