@@ -99,6 +99,77 @@ def _seg_bounds(m_slots: int, n_segments: int) -> np.ndarray:
     return (np.arange(n_segments + 1, dtype=np.int64) * m_slots) // n_segments
 
 
+def _resolved_segments(
+    base: DataFrame,
+    bc_map,
+    m_slots: int,
+    h: int,
+    shingle_w: int,
+    seed_arr: np.ndarray | None,
+    hash_family: str,
+    canonical: bool,
+    bounds: np.ndarray,
+    S: int,
+) -> DataFrame:
+    """Claims map pass + one ownership reducer per slot-range segment →
+    DataFrame (seg, ids): the resolved uint16 id slices (MIBFGen.hpp
+    passes 1-2, distributed).  Shared by ``build_mibf`` (which collects
+    the S slices and memcpy-assembles) and ``build_mibf_store`` (which
+    writes them straight to parquet — no driver assembly at all).
+    Segments with zero claims emit no row (an absent row = all-empty
+    slice)."""
+
+    def claims_pass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lmap = bc_map.value
+        cache: dict = {}
+        parts: list[MIBFClaims] = []
+        probe = MIBFSketch(
+            m_slots, h, shingle_w, [], np.zeros(0, dtype=np.uint16), seed_arr,
+            hash_family, canonical,
+        )
+        for pdf in batches:
+            for lab, grp in pdf.groupby("__label"):
+                li = lmap.get(str(lab))
+                if li is None:
+                    continue
+                rows, _off = _frame_hash_rows(
+                    grp["__text"].to_numpy(), None, shingle_w, seed_arr, cache,
+                    canonical, hash_family,
+                )
+                if rows.size == 0:
+                    continue
+                pos = probe.positions_for(rows)
+                parts.append(MIBFClaims.from_positions(pos, li))
+        acc = MIBFClaims.merge_all(parts)  # ONE sort per partition
+        if acc.slots.size == 0:
+            return
+        # slots are sorted: one searchsorted splits the partial by segment
+        cut = np.searchsorted(acc.slots, bounds)
+        out_seg, out_pl = [], []
+        for s in range(S):
+            lo, hi = int(cut[s]), int(cut[s + 1])
+            if hi > lo:
+                out_seg.append(s)
+                out_pl.append(MIBFClaims(acc.slots[lo:hi], acc.ties[lo:hi]).serialize())
+        yield pd.DataFrame({"seg": out_seg, "payload": out_pl})
+
+    partials = base.mapInPandas(claims_pass, schema=_CLAIMS_SCHEMA)
+
+    def resolve_seg(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        """One reducer per slot-range segment: merge that segment's claims
+        (associative min-tiebreak) and emit the resolved uint16 id slice."""
+        s = int(key[0])
+        acc = MIBFClaims.merge_all(
+            [MIBFClaims.deserialize(bytes(p)) for p in pdf["payload"]]
+        )  # ONE sort per segment, not a 64-step merge chain
+        lo, hi = int(bounds[s]), int(bounds[s + 1])
+        ids_seg = np.zeros(hi - lo, dtype=np.uint16)
+        ids_seg[acc.slots - lo] = acc.owners()
+        return pd.DataFrame({"seg": [s], "ids": [ids_seg.tobytes()]})
+
+    return partials.groupBy("seg").applyInPandas(resolve_seg, schema=_SEG_IDS_SCHEMA)
+
+
 def _frame_hash_rows(
     texts, labels_idx, w: int, seeds, cache: dict,
     canonical: bool = False, hash_family: str = "poly",
@@ -195,58 +266,12 @@ def build_mibf(
         F.col(key_col).cast("string").alias("__label"), F.col(text_col).alias("__text")
     )
 
-    def claims_pass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        lmap = bc_map.value
-        cache: dict = {}
-        parts: list[MIBFClaims] = []
-        probe = MIBFSketch(
-            m_slots, h, shingle_w, [], np.zeros(0, dtype=np.uint16), seed_arr,
-            hash_family, canonical,
-        )
-        for pdf in batches:
-            for lab, grp in pdf.groupby("__label"):
-                li = lmap.get(str(lab))
-                if li is None:
-                    continue
-                rows, _off = _frame_hash_rows(
-                    grp["__text"].to_numpy(), None, shingle_w, seed_arr, cache,
-                    canonical, hash_family,
-                )
-                if rows.size == 0:
-                    continue
-                pos = probe.positions_for(rows)
-                parts.append(MIBFClaims.from_positions(pos, li))
-        acc = MIBFClaims.merge_all(parts)  # ONE sort per partition
-        if acc.slots.size == 0:
-            return
-        # slots are sorted: one searchsorted splits the partial by segment
-        cut = np.searchsorted(acc.slots, bounds)
-        out_seg, out_pl = [], []
-        for s in range(S):
-            lo, hi = int(cut[s]), int(cut[s + 1])
-            if hi > lo:
-                out_seg.append(s)
-                out_pl.append(MIBFClaims(acc.slots[lo:hi], acc.ties[lo:hi]).serialize())
-        yield pd.DataFrame({"seg": out_seg, "payload": out_pl})
-
-    partials = base.mapInPandas(claims_pass, schema=_CLAIMS_SCHEMA)
-
-    def resolve_seg(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        """One reducer per slot-range segment: merge that segment's claims
-        (associative min-tiebreak) and emit the resolved uint16 id slice."""
-        s = int(key[0])
-        acc = MIBFClaims.merge_all(
-            [MIBFClaims.deserialize(bytes(p)) for p in pdf["payload"]]
-        )  # ONE sort per segment, not a 64-step merge chain
-        lo, hi = int(bounds[s]), int(bounds[s + 1])
-        ids_seg = np.zeros(hi - lo, dtype=np.uint16)
-        ids_seg[acc.slots - lo] = acc.owners()
-        return pd.DataFrame({"seg": [s], "ids": [ids_seg.tobytes()]})
-
+    resolved = _resolved_segments(
+        base, bc_map, m_slots, h, shingle_w, seed_arr, hash_family, canonical,
+        bounds, S,
+    )
     ids = np.zeros(m_slots, dtype=np.uint16)
-    for r in partials.groupBy("seg").applyInPandas(
-        resolve_seg, schema=_SEG_IDS_SCHEMA
-    ).collect():
+    for r in resolved.collect():
         s = int(r["seg"])
         ids[bounds[s] : bounds[s + 1]] = np.frombuffer(bytes(r["ids"]), dtype=np.uint16)
     sketch = MIBFSketch(
@@ -322,23 +347,51 @@ def _saturate_sharded(
 ) -> None:
     """Saturation without a full-array broadcast — the sharded twin of the
     ``sat_pass`` in ``build_mibf`` (insertSaturation, MIBFGen.hpp:196-223).
-
-    Pass s broadcasts only slot-range segment s of the resolved id array
-    and emits, for every probe position it owns, one (row, frame, slot,
-    owned-by-this-label) entry.  Every probe belongs to exactly one
-    segment, so a groupBy on (row, frame) sees all h probes of every
-    frame: frames where no probe is owned are the lost elements, and
-    their collected slots — deduped distributively — are the saturation
-    set.  The corpus is hashed once per segment and the probe entries
-    ride one shuffle; executor memory stays bounded by the segment size.
     Mutates ``sketch`` in place (sets SAT_BIT), like the dense pass.
     """
-    S = int(n_segments)
-    m_slots, h, w, seeds = (
-        sketch.m_slots, sketch.num_hashes, sketch.shingle_w, sketch.seeds,
+    bounds = _seg_bounds(sketch.m_slots, int(n_segments))
+    ids = sketch.ids
+    sat_slots = _sharded_lost_slots(
+        spark, base, _sketch_meta(sketch),
+        lambda s, lo, hi: ids[lo:hi].tobytes(), bc_map, bounds,
     )
-    family, canonical = sketch.hash_family, sketch.canonical
-    bounds = _seg_bounds(m_slots, S)
+    pack_schema = T.StructType([T.StructField("slots", T.BinaryType(), False)])
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield pd.DataFrame(
+                    {"slots": [pdf["slot"].to_numpy().astype(np.int64).tobytes()]}
+                )
+
+    for r in sat_slots.mapInPandas(pack, schema=pack_schema).collect():
+        sketch.apply_saturation(np.frombuffer(bytes(r["slots"]), dtype=np.int64))
+
+
+def _sharded_lost_slots(
+    spark: SparkSession,
+    base: DataFrame,
+    meta: tuple,
+    seg_bytes,
+    bc_map,
+    bounds: np.ndarray,
+) -> DataFrame:
+    """The distributed lost-element scan shared by the in-memory sharded
+    saturation and the store build (insertSaturation, MIBFGen.hpp:196-223).
+
+    Pass s broadcasts only slot range ``[bounds[s], bounds[s+1])`` of the
+    resolved id array (``seg_bytes(s, lo, hi)`` — an in-memory slice or a
+    parquet segment read) and emits, for every probe position it owns, one
+    (row, frame, slot, owned-by-this-label) entry.  Every probe belongs to
+    exactly one segment, so a groupBy on (row, frame) sees all h probes of
+    every frame: frames where no probe is owned are the lost elements, and
+    their slots — deduped distributively — are the saturation set.  The
+    corpus is hashed once per segment and the probe entries ride one
+    shuffle; executor memory stays bounded by the segment size.  Returns a
+    DataFrame with one distinct ``slot`` column.
+    """
+    m_slots, h, w, _labels, seeds, family, canonical = meta
+    S = len(bounds) - 1
     keyed = base.withColumn("__row", F.monotonically_increasing_id())
     entry_schema = T.StructType(
         [
@@ -351,7 +404,7 @@ def _saturate_sharded(
 
     def seg_pass(s: int):
         lo, hi = int(bounds[s]), int(bounds[s + 1])
-        bc_seg = spark.sparkContext.broadcast(sketch.ids[lo:hi].tobytes())
+        bc_seg = spark.sparkContext.broadcast(seg_bytes(s, lo, hi))
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             # must not close over `sketch` (would ship the full id array)
@@ -411,18 +464,16 @@ def _saturate_sharded(
         )
         .filter(F.col("any_owned") == 0)
     )
-    sat_slots = lost.select(F.explode("slots").alias("slot")).distinct()
-    pack_schema = T.StructType([T.StructField("slots", T.BinaryType(), False)])
+    return lost.select(F.explode("slots").alias("slot")).distinct()
 
-    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf):
-                yield pd.DataFrame(
-                    {"slots": [pdf["slot"].to_numpy().astype(np.int64).tobytes()]}
-                )
 
-    for r in sat_slots.mapInPandas(pack, schema=pack_schema).collect():
-        sketch.apply_saturation(np.frombuffer(bytes(r["slots"]), dtype=np.int64))
+def _sketch_meta(sketch: MIBFSketch) -> tuple:
+    """(m_slots, h, w, labels, seeds, hash_family, canonical) — the
+    id-array-free description the sharded kernels close over."""
+    return (
+        sketch.m_slots, sketch.num_hashes, sketch.shingle_w, sketch.labels,
+        sketch.seeds, sketch.hash_family, sketch.canonical,
+    )
 
 
 def _count_batch(texts: np.ndarray, sketch: MIBFSketch, cache: dict):
@@ -591,7 +642,8 @@ def _classify_batch(
 def _classify_mibf_sharded(
     spark: SparkSession,
     docs: DataFrame,
-    sketch: MIBFSketch,
+    meta: tuple,
+    seg_fetch,
     n_segments: int,
     per_frame_prob: np.ndarray,
     alpha_adj: float,
@@ -618,14 +670,16 @@ def _classify_mibf_sharded(
     (per-mate matrices reassembled separately, counts summed via
     ``_merge_counts``, the binomial test on the combined frame count —
     the ``classify(support, seq1, seq2)`` semantics).
+
+    ``meta`` = (m_slots, h, w, labels, seeds, hash_family, canonical);
+    ``seg_fetch(s, lo, hi)`` returns segment s's raw uint16 bytes — an
+    in-memory slice (``classify_mibf``) or a parquet segment read
+    (``mibf_store.classify_mibf_store``): the id array as a whole need
+    not exist anywhere.
     """
     S = int(n_segments)
-    m_slots = sketch.m_slots
+    m_slots, h, w, labels, seeds, family, canonical = meta
     bounds = _seg_bounds(m_slots, S)
-    h, w, labels, seeds = (
-        sketch.num_hashes, sketch.shingle_w, sketch.labels, sketch.seeds,
-    )
-    family, canonical = sketch.hash_family, sketch.canonical
     L = len(labels)
     M = len(text_cols)
     keyed = docs.select(id_col, *text_cols).withColumn(
@@ -645,7 +699,7 @@ def _classify_mibf_sharded(
 
     def seg_pass(s: int):
         lo, hi = int(bounds[s]), int(bounds[s + 1])
-        bc = spark.sparkContext.broadcast(sketch.ids[lo:hi].tobytes())
+        bc = spark.sparkContext.broadcast(seg_fetch(s, lo, hi))
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             # NOTE: this closure must never reference `sketch` — cloudpickle
@@ -713,7 +767,7 @@ def _classify_mibf_sharded(
             T.StructField("best_score", T.DoubleType(), False),
         ]
     )
-    meta = MIBFSketch(
+    decide_sk = MIBFSketch(
         m_slots, h, w, list(labels), np.zeros(0, dtype=np.uint16), seeds,
         family, canonical,
     )
@@ -749,7 +803,7 @@ def _classify_mibf_sharded(
                 mate_counts[0] if M == 1 else _merge_counts(mate_counts)
             )
             assigned, hits, best = _decide_batch(
-                n, frames_total, keys, counts, full, meta,
+                n, frames_total, keys, counts, full, decide_sk,
                 per_frame_prob, alpha_adj, multi_thresh,
             )
             yield pd.DataFrame(
@@ -798,9 +852,11 @@ def classify_mibf(
         and sketch.ids.nbytes > max_broadcast_bytes
     ):
         n_seg = _clamp_segments(-(-sketch.ids.nbytes // max_broadcast_bytes))
+        ids = sketch.ids
         return _classify_mibf_sharded(
-            spark, docs, sketch, n_seg, per_frame_prob, alpha_adj,
-            multi_thresh, id_col, [text_col],
+            spark, docs, _sketch_meta(sketch),
+            lambda s, lo, hi: ids[lo:hi].tobytes(),
+            n_seg, per_frame_prob, alpha_adj, multi_thresh, id_col, [text_col],
         )
     payload = sketch.serialize()
     meta = (sketch.m_slots, sketch.num_hashes, sketch.shingle_w, sketch.labels,
@@ -874,9 +930,12 @@ def classify_mibf_pairs(
         and sketch.ids.nbytes > max_broadcast_bytes
     ):
         n_seg = _clamp_segments(-(-sketch.ids.nbytes // max_broadcast_bytes))
+        ids = sketch.ids
         return _classify_mibf_sharded(
-            spark, docs, sketch, n_seg, per_frame_prob, alpha_adj,
-            multi_thresh, id_col, [text1_col, text2_col],
+            spark, docs, _sketch_meta(sketch),
+            lambda s, lo, hi: ids[lo:hi].tobytes(),
+            n_seg, per_frame_prob, alpha_adj, multi_thresh, id_col,
+            [text1_col, text2_col],
         )
     payload = sketch.serialize()
     meta = (sketch.m_slots, sketch.num_hashes, sketch.shingle_w, sketch.labels,
