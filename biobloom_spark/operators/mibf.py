@@ -187,6 +187,56 @@ def _frame_hash_rows(
     return rows, offsets2
 
 
+def _prep_build(
+    spark: SparkSession,
+    docs: DataFrame,
+    key_col: str,
+    text_col: str,
+    shingle_w: int,
+    num_hashes: int,
+    occupancy: float,
+    seeds: list[str] | None,
+    expected_entries: int | None,
+    canonical: bool,
+    hash_family: str,
+):
+    """Shared build prologue (validation, label map, sizing pass) for
+    ``build_mibf`` and ``mibf_store.build_mibf_store``.  Returns
+    ``(base, bc_map, labels, seed_arr, h, canonical, m_slots)`` where
+    ``base`` is the (__label, __text) projection of the corpus."""
+    from ..session import ensure_workers
+
+    ensure_workers(spark)
+    seed_arr = seed_masks_to_arrays(seeds, shingle_w)
+    if seed_arr is not None and (hash_family != "poly" or canonical):
+        raise ValueError("spaced-seed miBF mode is poly-family only")
+    if hash_family == "nthash" and canonical:
+        canonical = False  # NTC64 is canonical by construction
+    h = seed_arr.shape[0] if seed_arr is not None else num_hashes
+
+    docs = docs.filter(F.col(key_col).isNotNull() & F.col(text_col).isNotNull())
+    labels = [r[0] for r in docs.select(key_col).distinct().collect()]
+    labels = sorted(str(x) for x in labels)
+    label_to_idx = {lab: i + 1 for i, lab in enumerate(labels)}
+
+    if expected_entries is None:
+        from .maker import frames_upper_bound_col
+
+        frames_ub = frames_upper_bound_col(text_col, shingle_w)
+        expected_entries = int(
+            docs.agg(F.sum(frames_ub).alias("f")).collect()[0]["f"] or 1
+        )
+    m_slots = mibf_size_slots(expected_entries, h, occupancy)
+
+    if len(labels) > MAX_LABELS:
+        raise ValueError(f"miBF supports at most {MAX_LABELS} labels")
+    bc_map = spark.sparkContext.broadcast(label_to_idx)
+    base = docs.select(
+        F.col(key_col).cast("string").alias("__label"), F.col(text_col).alias("__text")
+    )
+    return base, bc_map, labels, seed_arr, h, canonical, m_slots
+
+
 def build_mibf(
     spark: SparkSession,
     docs: DataFrame,
@@ -233,38 +283,12 @@ def build_mibf(
     stitched by a frame-level OR — ``_saturate_sharded``) instead of
     broadcasting the full resolved sketch.  None = single broadcast.
     """
-    from ..session import ensure_workers
-
-    ensure_workers(spark)
-    seed_arr = seed_masks_to_arrays(seeds, shingle_w)
-    if seed_arr is not None and (hash_family != "poly" or canonical):
-        raise ValueError("spaced-seed miBF mode is poly-family only")
-    if hash_family == "nthash" and canonical:
-        canonical = False  # NTC64 is canonical by construction
-    h = seed_arr.shape[0] if seed_arr is not None else num_hashes
-
-    docs = docs.filter(F.col(key_col).isNotNull() & F.col(text_col).isNotNull())
-    labels = [r[0] for r in docs.select(key_col).distinct().collect()]
-    labels = sorted(str(x) for x in labels)
-    label_to_idx = {lab: i + 1 for i, lab in enumerate(labels)}
-
-    if expected_entries is None:
-        from .maker import frames_upper_bound_col
-
-        frames_ub = frames_upper_bound_col(text_col, shingle_w)
-        expected_entries = int(
-            docs.agg(F.sum(frames_ub).alias("f")).collect()[0]["f"] or 1
-        )
-    m_slots = mibf_size_slots(expected_entries, h, occupancy)
-
-    if len(labels) > MAX_LABELS:
-        raise ValueError(f"miBF supports at most {MAX_LABELS} labels")
+    base, bc_map, labels, seed_arr, h, canonical, m_slots = _prep_build(
+        spark, docs, key_col, text_col, shingle_w, num_hashes, occupancy,
+        seeds, expected_entries, canonical, hash_family,
+    )
     S = max(1, int(merge_segments))
     bounds = _seg_bounds(m_slots, S)
-    bc_map = spark.sparkContext.broadcast(label_to_idx)
-    base = docs.select(
-        F.col(key_col).cast("string").alias("__label"), F.col(text_col).alias("__text")
-    )
 
     resolved = _resolved_segments(
         base, bc_map, m_slots, h, shingle_w, seed_arr, hash_family, canonical,

@@ -511,3 +511,108 @@ class TestHashFamilies:
                 64, 2, 5, [], np.zeros(64, dtype=np.uint16),
                 seed_masks_to_arrays(["10101"], 5), canonical=True,
             )
+
+
+class TestStore:
+    """Parquet-segment store (operators/mibf_store.py): the miBF
+    lifecycle with the id array never assembled in one process — must be
+    byte-identical to the in-memory build/classify at every step."""
+
+    @pytest.fixture(scope="class")
+    def store_env(self, spark, labeled_corpus, mibf, tmp_path_factory):
+        from biobloom_spark.operators.mibf_store import build_mibf_store
+
+        path = str(tmp_path_factory.mktemp("mistore") / "mi")
+        store = build_mibf_store(
+            spark, labeled_corpus, path, key_col="lang", occupancy=0.5,
+            min_segments=5, segment_bytes=1,
+        )
+        return store, path
+
+    def test_store_build_matches_in_memory(self, spark, mibf, store_env):
+        store, _ = store_env
+        assert store.n_segments >= 5
+        assert store.to_sketch(spark).serialize() == mibf.serialize()
+        np.testing.assert_array_equal(store.label_counts, mibf.slots_per_label())
+        np.testing.assert_allclose(store.per_frame_prob(), mibf.per_frame_prob())
+        assert store.occupancy() == pytest.approx(mibf.occupancy())
+        assert store.saturation_rate() == pytest.approx(mibf.saturation_rate())
+
+    def test_store_build_with_saturation_matches(self, spark, tmp_path):
+        """Same degenerate corpus as the sharded-saturation test: the
+        store's cogrouped SAT update must set the same bits."""
+        from biobloom_spark.operators.mibf_store import build_mibf_store
+
+        text = " ".join(f"t{i}" for i in range(100))
+        df = spark.createDataFrame(
+            [("a1", text, "a"), ("b1", text, "b")],
+            "doc_id string, text string, lang string",
+        )
+        dense = build_mibf(spark, df, key_col="lang", occupancy=0.5)
+        assert dense.saturation_rate() > 0.05
+        store = build_mibf_store(
+            spark, df, str(tmp_path / "sat"), key_col="lang", occupancy=0.5,
+            min_segments=3, segment_bytes=1,
+        )
+        assert store.to_sketch(spark).serialize() == dense.serialize()
+        assert store.sat_slots == int(((dense.ids & SAT_BIT) != 0).sum())
+
+    def test_store_classify_matches_in_memory(
+        self, spark, labeled_corpus, mibf, store_env
+    ):
+        from biobloom_spark.operators.mibf_store import (
+            classify_mibf_store, load_mibf_store,
+        )
+
+        store, path = store_env
+        store = load_mibf_store(spark, path)  # exercise the load path too
+        rng = np.random.default_rng(43)
+        noise = spark.createDataFrame(
+            [(f"n{i}", t) for i, t in enumerate(_vocab_texts(rng, "qq", 8, 60))]
+            + [("empty", "one two")],
+            "doc_id string, text string",
+        )
+        probe = labeled_corpus.select("doc_id", "text").unionByName(noise)
+        key = lambda r: (
+            r["assigned"], tuple(r["hits"]), r["n_frames"],
+            round(r["best_score"], 9),
+        )
+        dense = {
+            r["doc_id"]: key(r) for r in classify_mibf(spark, probe, mibf).collect()
+        }
+        from_store = {
+            r["doc_id"]: key(r)
+            for r in classify_mibf_store(spark, probe, store).collect()
+        }
+        assert dense == from_store
+        assert len(from_store) == probe.count()
+
+    def test_store_classify_pairs_matches_in_memory(
+        self, spark, labeled_corpus, mibf, store_env
+    ):
+        from biobloom_spark.operators.mibf import classify_mibf_pairs
+        from biobloom_spark.operators.mibf_store import classify_mibf_store_pairs
+
+        store, _ = store_env
+        texts = [r["text"] for r in labeled_corpus.limit(12).collect()]
+        pairs = spark.createDataFrame(
+            [
+                (f"p{i}", texts[i], texts[(i + 1) % len(texts)])
+                for i in range(len(texts))
+            ]
+            + [("halfpair", texts[0], None)],
+            "doc_id string, text1 string, text2 string",
+        )
+        key = lambda r: (
+            r["assigned"], tuple(r["hits"]), r["n_frames"],
+            round(r["best_score"], 9),
+        )
+        dense = {
+            r["doc_id"]: key(r)
+            for r in classify_mibf_pairs(spark, pairs, mibf).collect()
+        }
+        from_store = {
+            r["doc_id"]: key(r)
+            for r in classify_mibf_store_pairs(spark, pairs, store).collect()
+        }
+        assert dense == from_store
