@@ -416,6 +416,10 @@ def _cmd_mimaker(argv: list[str]) -> int:
     ap.add_argument("--nthash", action="store_true",
                     help="hash k-mers with the published ntHash NTC64/NTM64 "
                     "family (canonical by construction; k-mer mode only)")
+    ap.add_argument("--store", action="store_true",
+                    help="build into a parquet-segment store (no process "
+                    "ever holds the full id array; resumable checkpoints) "
+                    "instead of a single-array parquet")
     args = ap.parse_args(argv)
     if args.nthash and args.seed_str:
         ap.error("--nthash is k-mer mode only (spaced seeds are poly-family)")
@@ -443,8 +447,8 @@ def _cmd_mimaker(argv: list[str]) -> int:
             else F.col("header"),
         ).select(F.col("header").alias("doc_id"), "text", "__label")
         key_col = "__label"
-    sk = build_mibf(
-        spark, docs, key_col=key_col, shingle_w=args.kmer_size,
+    common = dict(
+        key_col=key_col, shingle_w=args.kmer_size,
         num_hashes=args.hash_num, occupancy=args.occupancy,
         seeds=args.seed_str.split() if args.seed_str else None,
         expected_entries=args.num_ele or None,
@@ -453,8 +457,15 @@ def _cmd_mimaker(argv: list[str]) -> int:
         hash_family="nthash" if args.nthash else "poly",
     )
     os.makedirs(args.output_dir, exist_ok=True)
-    path = os.path.join(args.output_dir, f"{args.file_prefix}_mibf.parquet")
-    save_mibf(spark, sk, path)
+    if args.store:
+        from .operators.mibf_store import build_mibf_store
+
+        path = os.path.join(args.output_dir, f"{args.file_prefix}_mibf_store")
+        sk = build_mibf_store(spark, docs, path, resume=True, **common)
+    else:
+        sk = build_mibf(spark, docs, **common)
+        path = os.path.join(args.output_dir, f"{args.file_prefix}_mibf.parquet")
+        save_mibf(spark, sk, path)
     print(f"mibf: {path}  labels={len(sk.labels)} occupancy={sk.occupancy():.3f} "
           f"saturation={sk.saturation_rate():.4f}")
     return 0
@@ -490,7 +501,19 @@ def _cmd_micategorizer(argv: list[str]) -> int:
     )
 
     spark = _spark(args.threads)
-    sk = load_mibf(spark, args.filter)
+    # store layout ({path}/meta + {path}/segments) vs single-array parquet:
+    # a store classifies shard-by-shard with ids fetched from disk
+    is_store = os.path.isdir(os.path.join(args.filter, "meta"))
+    if is_store:
+        from .operators.mibf_store import (
+            classify_mibf_store,
+            classify_mibf_store_pairs,
+            load_mibf_store,
+        )
+
+        sk = load_mibf_store(spark, args.filter)
+    else:
+        sk = load_mibf(spark, args.filter)
     docs = _load_docs(spark, args.files, sk.shingle_w)
     id_col = docs.columns[0]
     alpha = 10.0 ** (-args.min_FPR / 10.0)
@@ -504,12 +527,14 @@ def _cmd_micategorizer(argv: list[str]) -> int:
             .withColumn("path", F.lit(""))
         )
         id_col = "pair_key"
-        res = classify_mibf_pairs(
+        pair_fn = classify_mibf_store_pairs if is_store else classify_mibf_pairs
+        res = pair_fn(
             spark, paired, sk, alpha=alpha, multi_thresh=int(args.multi),
             id_col=id_col,
         ).cache()
     else:
-        res = classify_mibf(
+        one_fn = classify_mibf_store if is_store else classify_mibf
+        res = one_fn(
             spark, docs, sk, alpha=alpha,
             multi_thresh=int(args.multi), id_col=id_col,
         ).cache()

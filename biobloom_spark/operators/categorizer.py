@@ -182,24 +182,150 @@ def _shard_filters(filters: list[dict], max_bytes: int) -> list[list[dict]]:
     return shards
 
 
+def _chunkable(f: dict) -> bool:
+    """A single filter can shard by word range iff a frame's whole probe
+    footprint lives in one block: the 64-bit-word layout (default) and the
+    512-bit cache-line layout qualify; the classic layout (h positions
+    anywhere — only the nthash ``.bf``-interop path uses it) does not."""
+    return f.get("hash_family", "poly") != "nthash" and f.get("block_bits", 0) in (64, 512)
+
+
+def _plan_passes(filters: list[dict], max_bytes: int) -> list[tuple]:
+    """Evaluation plan under a per-pass broadcast budget.
+
+    Returns a list of passes: ``("full", g_lo, g_hi)`` broadcasts whole
+    filters ``filters[g_lo:g_hi]`` (greedy contiguous packing, as before);
+    a filter whose bitmap alone exceeds the budget becomes word-range
+    chunks ``("chunk", gi, lo_word, hi_word)`` — each pass broadcasts only
+    that slice of the bitmap, so NO single filter is required to fit in
+    executor (or driver-broadcast) memory.  Chunk bounds align to block
+    boundaries, so every frame's footprint lands in exactly one chunk.
+    """
+    passes: list[tuple] = []
+    g_lo = 0
+    used = 0
+
+    def flush(hi: int) -> None:
+        nonlocal g_lo, used
+        if hi > g_lo:
+            passes.append(("full", g_lo, hi))
+        g_lo = hi
+        used = 0
+
+    for gi, f in enumerate(filters):
+        b = len(f["bitmap"])
+        if b > max_bytes:
+            if not _chunkable(f):
+                raise ValueError(
+                    f"filter {f['filter_id']!r} ({b} B) exceeds the "
+                    f"{max_bytes} B broadcast budget and its layout "
+                    f"(block_bits={f.get('block_bits', 0)}, "
+                    f"hash_family={f.get('hash_family', 'poly')}) cannot "
+                    "shard by word range — rebuild with a blocked layout "
+                    "or raise max_broadcast_bytes"
+                )
+            flush(gi)
+            wpb = f.get("block_bits", 0) // 64  # words per block (1 or 8)
+            n_words = f["m_bits"] // 64
+            cw = max(wpb, (max_bytes // 8) // wpb * wpb)  # chunk words
+            for lo in range(0, n_words, cw):
+                passes.append(("chunk", gi, lo, min(lo + cw, n_words)))
+            g_lo = gi + 1
+            continue
+        if gi > g_lo and used + b > max_bytes:
+            flush(gi)
+        used += b
+    flush(len(filters))
+    return passes
+
+
+def _chunk_hits(
+    h1: np.ndarray,
+    h2: np.ndarray,
+    mask: np.ndarray | None,
+    f: dict,
+    slice_bytes: bytes,
+    lo_w: int,
+    hi_w: int,
+) -> np.ndarray:
+    """Membership over one word-range chunk of a single blocked filter.
+
+    Returns a bool per flat frame: True iff the frame's (single-block)
+    footprint lies in words ``[lo_w, hi_w)`` AND every probe bit is set in
+    the broadcast slice.  Frames owned by other chunks stay False — the
+    per-row OR-stitch across passes reassembles the full hit vector.
+    """
+    from ..sketch.bloom import _BIT_LUT, probe_words64, word_index64
+
+    out = np.zeros(h1.size, dtype=bool)
+    if h1.size == 0:
+        return out
+    h = int(f["num_hashes"])
+    bb = int(f.get("block_bits", 0))
+    if bb == 64:
+        widx = word_index64(h1, f["m_bits"] // 64, f.get("seg_offsets"))
+        sel = (widx >= lo_w) & (widx < hi_w)
+        if mask is not None:
+            sel &= ~mask
+        idx = np.flatnonzero(sel)
+        if idx.size:
+            words = np.frombuffer(slice_bytes, dtype=np.uint64)
+            got = words[widx[idx] - lo_w]
+            pw = probe_words64(h2[idx], h)
+            out[idx] = (got & pw) == pw
+        return out
+    # 512-bit cache-line blocked (same probe math as BloomSketch.contains_probe)
+    n_blocks = f["m_bits"] // bb
+    wpb = bb // 64
+    base_blk = (h1 % np.uint64(n_blocks)).astype(np.int64)
+    sel = (base_blk >= lo_w // wpb) & (base_blk < hi_w // wpb)
+    if mask is not None:
+        sel &= ~mask
+    idx = np.flatnonzero(sel)
+    if idx.size:
+        bits = np.frombuffer(slice_bytes, dtype=np.uint8)
+        bpb = bb.bit_length() - 1
+        shift = 64 % bpb
+        off_mask = np.uint64(bb - 1)
+        base_bit = (base_blk[idx] - lo_w // wpb) * np.int64(bb)
+        rest = h2[idx]
+        ok = np.ones(idx.size, dtype=bool)
+        for level in range(h):
+            pos = base_bit + (
+                (rest >> np.uint64(bpb * level + shift)) & off_mask
+            ).astype(np.int64)
+            ok &= (bits[pos >> 3] & _BIT_LUT[pos & 7]) != 0
+        out[idx] = ok
+    return out
+
+
 def _categorize_sharded(
     spark: SparkSession,
     docs: DataFrame,
-    shards: list[list[dict]],
+    filters: list[dict],
+    passes: list[tuple],
     cfg: CategorizerConfig,
     id_col: str,
     text_col: str,
 ) -> DataFrame:
     """Multi-pass evaluation for registries beyond the broadcast budget.
 
-    Pass s broadcasts only shard s's bitmaps and emits raw per-filter
-    (scores, matches) vectors — no assignment yet, because every mode's
-    decision (besthit argmax, multiMatch counting, ordered priority) needs
-    the FULL score row.  One groupBy on a per-row surrogate key then
-    stitches shard vectors back into full rows and runs the normal
-    ``_assign``.  Cost vs single-pass: the corpus is scanned once per
-    shard and one extra shuffle keyed by row — the standard memory/IO
-    trade.
+    A ``("full", g_lo, g_hi)`` pass broadcasts whole bitmaps and emits raw
+    per-filter (scores, matches) vectors — no assignment yet, because
+    every mode's decision (besthit argmax, multiMatch counting, ordered
+    priority) needs the FULL score row.  A ``("chunk", gi, lo_w, hi_w)``
+    pass broadcasts one word-range slice of a single oversized filter and
+    emits the sparse per-row frame indices that hit inside that range
+    (blocked layouts confine a frame's footprint to one chunk, so the OR
+    of per-pass hits IS the full hit vector — no cross-pass AND needed).
+    One groupBy on a per-row surrogate key stitches both kinds back into
+    full rows; chunked filters are then scored by the normal
+    ``score_batch`` kernel on the reassembled hit bits, and ``_assign``
+    decides.  Cost vs single-pass: the corpus is scanned once per pass and
+    the partials ride one row-keyed shuffle — the standard memory/IO
+    trade.  With chunking, NO single filter has to fit in executor (or
+    Spark's 8 GB broadcast) memory — the last per-object memory ceiling in
+    the plain-Bloom path.
 
     The stitch keys on ``monotonically_increasing_id()`` attached before
     the shard passes, NOT on ``id_col`` — duplicate doc ids must yield one
@@ -208,8 +334,8 @@ def _categorize_sharded(
     deterministic sources (a file scan; the same assumption multi-pass
     evaluation already makes about the corpus content itself).
     """
-    all_ids = [f["filter_id"] for sh in shards for f in sh]
-    n_shards = len(shards)
+    all_ids = [f["filter_id"] for f in filters]
+    nF = len(filters)
     id_field = docs.schema[id_col]
     keyed = docs.select(id_col, text_col).withColumn(
         "__row", F.monotonically_increasing_id()
@@ -220,8 +346,9 @@ def _categorize_sharded(
             id_field,
             T.StructField("__shard", T.IntegerType(), False),
             T.StructField("n_frames", T.LongType(), False),
-            T.StructField("scores", T.ArrayType(T.DoubleType()), False),
-            T.StructField("matches", T.ArrayType(T.BooleanType()), False),
+            T.StructField("scores", T.ArrayType(T.DoubleType()), True),
+            T.StructField("matches", T.ArrayType(T.BooleanType()), True),
+            T.StructField("hitidx", T.BinaryType(), True),
         ]
     )
 
@@ -236,6 +363,7 @@ def _categorize_sharded(
                 frames, scores, matches = _score_texts(
                     pdf[text_col].to_numpy(), flts, cfg, cache, sketches
                 )
+                n = len(pdf)
                 yield pd.DataFrame(
                     {
                         "__row": pdf["__row"].to_numpy(),
@@ -244,39 +372,122 @@ def _categorize_sharded(
                         "n_frames": frames,
                         "scores": list(scores),
                         "matches": list(matches),
+                        "hitidx": [None] * n,
                     }
                 )
 
         return keyed.mapInPandas(run, schema=part_schema)
 
-    parts = score_pass(shards[0], 0)
-    for si in range(1, n_shards):
-        parts = parts.unionByName(score_pass(shards[si], si))
+    def chunk_pass(gi: int, lo_w: int, hi_w: int, si: int):
+        f = filters[gi]
+        meta = {k: v for k, v in f.items() if k != "bitmap"}  # no bitmap in closure
+        bc = spark.sparkContext.broadcast(f["bitmap"][lo_w * 8 : hi_w * 8])
+        w = int(meta["shingle_w"])
+        canonical = bool(meta.get("canonical", False))
+        scoring = cfg.scoring
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            sl = bc.value
+            cache: dict = {}
+            for pdf in batches:
+                texts = pdf[text_col].to_numpy()
+                hashes, offsets, tok_h, tok_counts = batch_frames(
+                    texts, w, cache, canonical=canonical
+                )
+                mask = (
+                    flat_dust_mask(tok_h, tok_counts, w, scoring.dust_min_distinct)
+                    if scoring.dust
+                    else None
+                )
+                h1, h2 = km_probe(hashes)
+                hit = _chunk_hits(h1, h2, mask, meta, sl, lo_w, hi_w)
+                n = len(texts)
+                hidx = np.flatnonzero(hit)
+                doc = np.searchsorted(offsets, hidx, side="right") - 1
+                local = (hidx - offsets[doc]).astype(np.uint32)
+                cut = np.searchsorted(doc, np.arange(n + 1))
+                yield pd.DataFrame(
+                    {
+                        "__row": pdf["__row"].to_numpy(),
+                        id_col: pdf[id_col].to_numpy(),
+                        "__shard": si,
+                        "n_frames": np.diff(offsets),
+                        "scores": [None] * n,
+                        "matches": [None] * n,
+                        "hitidx": [
+                            local[cut[d] : cut[d + 1]].tobytes() for d in range(n)
+                        ],
+                    }
+                )
+
+        return keyed.mapInPandas(run, schema=part_schema)
+
+    def one_pass(p: tuple, si: int):
+        if p[0] == "full":
+            return score_pass(filters[p[1] : p[2]], si)
+        return chunk_pass(p[1], p[2], p[3], si)
+
+    parts = one_pass(passes[0], 0)
+    for si in range(1, len(passes)):
+        parts = parts.unionByName(one_pass(passes[si], si))
 
     agg = parts.groupBy("__row").agg(
         F.first(id_col).alias(id_col),
         F.max("n_frames").alias("n_frames"),
-        F.collect_list(F.struct("__shard", "scores", "matches")).alias("parts"),
+        F.collect_list(F.struct("__shard", "scores", "matches", "hitidx")).alias(
+            "parts"
+        ),
     )
     schema = _result_schema(id_field)
-    shard_sizes = [len(sh) for sh in shards]
+    # pass si → target filter-index range (full) or filter index (chunk);
+    # chunked filters keep only scoring metadata in the closure
+    pass_kind = [(p[0], p[1], p[2] if p[0] == "full" else None) for p in passes]
+    chunked = sorted({p[1] for p in passes if p[0] == "chunk"})
+    light = {
+        gi: {
+            "fpr": float(filters[gi]["fpr"]),
+            "shingle_w": int(filters[gi]["shingle_w"]),
+        }
+        for gi in chunked
+    }
+    scoring_cfg = cfg.scoring
 
     def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n = len(pdf)
-            scores = np.zeros((n, len(all_ids)))
-            matches = np.zeros((n, len(all_ids)), dtype=bool)
-            offs = np.concatenate(([0], np.cumsum(shard_sizes)))
+            frames_arr = pdf["n_frames"].to_numpy().astype(np.int64)
+            offsets = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(frames_arr, out=offsets[1:])
+            scores = np.zeros((n, nF))
+            matches = np.zeros((n, nF), dtype=bool)
+            chunk_hits = {
+                gi: np.zeros(int(offsets[-1]), dtype=bool) for gi in chunked
+            }
             for i, row_parts in enumerate(pdf["parts"]):
                 for p in row_parts:
-                    s = int(p["__shard"])
-                    scores[i, offs[s] : offs[s + 1]] = p["scores"]
-                    matches[i, offs[s] : offs[s + 1]] = p["matches"]
+                    kind, a, b = pass_kind[int(p["__shard"])]
+                    if kind == "full":
+                        scores[i, a:b] = p["scores"]
+                        matches[i, a:b] = p["matches"]
+                    elif len(p["hitidx"]):
+                        loc = np.frombuffer(p["hitidx"], dtype=np.uint32).astype(
+                            np.int64
+                        )
+                        chunk_hits[a][offsets[i] + loc] = True
+            if chunked:
+                batch = SegmentedBatch(np.empty(0, dtype=np.uint64), offsets)
+                for gi in chunked:
+                    s, m = score_batch(
+                        chunk_hits[gi], batch, scoring_cfg,
+                        light[gi]["fpr"], light[gi]["shingle_w"],
+                    )
+                    scores[:, gi] = s
+                    matches[:, gi] = m
             hits, assigned, best, _sel = _assign(scores, matches, all_ids, cfg)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
-                    "n_frames": pdf["n_frames"].to_numpy(),
+                    "n_frames": frames_arr,
                     "scores": list(scores),
                     "hits": hits,
                     "assigned": assigned,
@@ -306,19 +517,21 @@ def categorize(
     ``max_broadcast_bytes`` caps the bitmap bytes broadcast per pass: a
     registry larger than the cap is evaluated in filter shards (each pass
     broadcasts one shard, scores it shuffle-free, and a single groupBy on
-    ``id_col`` stitches the per-shard score vectors back together before
-    mode assignment) — the executor-memory escape hatch for very large
-    filter sets (SURVEY §7.4 risk).  None = single pass (default).
+    a per-row surrogate stitches the per-shard score vectors back together
+    before mode assignment) — the executor-memory escape hatch for very
+    large filter sets (SURVEY §7.4 risk).  A single filter larger than the
+    cap is itself split into word-range chunks (blocked layouts only), so
+    no filter has to fit in one broadcast.  None = single pass (default).
     """
     from ..session import ensure_workers
 
     ensure_workers(spark)
     cfg = cfg or CategorizerConfig()
     if max_broadcast_bytes is not None:
-        shards = _shard_filters(filters, max_broadcast_bytes)
-        if len(shards) > 1:
+        passes = _plan_passes(filters, max_broadcast_bytes)
+        if len(passes) > 1:
             return _categorize_sharded(
-                spark, docs, shards, cfg, id_col, text_col
+                spark, docs, filters, passes, cfg, id_col, text_col
             )
     filter_ids = [f["filter_id"] for f in filters]
     bc = spark.sparkContext.broadcast(filters)
@@ -496,6 +709,7 @@ def summarize_fused(
     cfg: CategorizerConfig | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_broadcast_bytes: int | None = None,
 ) -> DataFrame:
     """Categorize + summary in one fused map-side-combined pass.
 
@@ -505,11 +719,23 @@ def summarize_fused(
     shipping the corpus back through the Arrow bridge and shipping a few
     counter rows per task.  Use when only the summary sink is needed;
     ``categorize`` remains the per-document operator.
+
+    ``max_broadcast_bytes``: registries beyond the budget route through
+    the sharded categorize (word-range chunking included) + the exploded
+    summary — the fused single-pass shape needs every bitmap resident at
+    once, so past the budget correctness of the memory bound wins over
+    the fused plan.
     """
     from ..session import ensure_workers
 
     ensure_workers(spark)
     cfg = cfg or CategorizerConfig()
+    if max_broadcast_bytes is not None and len(_plan_passes(filters, max_broadcast_bytes)) > 1:
+        res = categorize(
+            spark, docs, filters, cfg, id_col=id_col, text_col=text_col,
+            max_broadcast_bytes=max_broadcast_bytes,
+        )
+        return summarize(res, [f["filter_id"] for f in filters], explode_threshold=0)
     filter_ids = [f["filter_id"] for f in filters]
     bc = spark.sparkContext.broadcast(filters)
     schema = T.StructType(

@@ -30,6 +30,7 @@ are all-empty (all-zero) by construction.
 
 from __future__ import annotations
 
+import hashlib
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -177,6 +178,16 @@ def _delete_dir(spark: SparkSession, path: str) -> None:
     fs.delete(hpath, True)
 
 
+def _stage_done(spark: SparkSession, path: str) -> bool:
+    """A parquet stage counts as checkpointed only when its committer
+    marker exists — a killed mid-write job leaves no ``_SUCCESS`` and the
+    stage reruns from scratch (no partial-output resume)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/_SUCCESS")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def build_mibf_store(
     spark: SparkSession,
     docs: DataFrame,
@@ -192,6 +203,8 @@ def build_mibf_store(
     min_segments: int = 16,
     canonical: bool = False,
     hash_family: str = "poly",
+    resume: bool = False,
+    snapshot_id: str | None = None,
 ) -> MIBFStore:
     """Build a miBF straight into a parquet store (MIBFGen.hpp:131-309
     semantics; byte-identical resolution+saturation to ``build_mibf``).
@@ -209,7 +222,55 @@ def build_mibf_store(
        emits per-segment label bincounts + saturation counts, and writes
        ``{path}/segments``; the tiny per-segment stats aggregate into
        ``{path}/meta``.
+
+    ``resume=True`` makes each stage a checkpoint (the north rule's
+    mid-build resumability, same contract as ``build_filters``): a killed
+    job re-invoked with the same path restarts at the first stage whose
+    ``_SUCCESS`` marker is missing.  Resume is only offered against the
+    SAME input + parameters — a fingerprint of the scan's file listing
+    (or ``snapshot_id`` for stable non-file identities, e.g. an Iceberg
+    snapshot) and every sizing-relevant parameter is persisted at
+    ``{path}/snapshot``; on mismatch the stale state is discarded and the
+    build restarts from scratch.  The expensive stage (resolution — the
+    corpus-wide claims shuffle) is never repeated once checkpointed; the
+    per-segment rows double as the build's partition-level lineage.
     """
+    snap_src = snapshot_id or ";".join(sorted(docs.inputFiles()))
+    param_fp = repr((
+        key_col, text_col, shingle_w, num_hashes, occupancy, seeds,
+        expected_entries, segment_bytes, min_segments, canonical, hash_family,
+    ))
+    snap_fp = (
+        hashlib.md5((snap_src + "|" + param_fp).encode()).hexdigest()
+        if snap_src
+        else None
+    )
+    snap_path = f"{path}/snapshot"
+    resolved_path = f"{path}/resolved"
+    seg_path = f"{path}/segments"
+    meta_path = f"{path}/meta"
+
+    state = "fresh"
+    if resume and snap_fp is not None and _stage_done(spark, snap_path):
+        old_fp = spark.read.parquet(snap_path).collect()[0]["fp"]
+        if old_fp == snap_fp:
+            if _stage_done(spark, meta_path):
+                return load_mibf_store(spark, path)
+            if _stage_done(spark, seg_path):
+                state = "have_segments"
+            elif _stage_done(spark, resolved_path):
+                state = "have_resolved"
+    if state == "fresh":
+        for p in (snap_path, resolved_path, seg_path, meta_path):
+            _delete_dir(spark, p)
+        if snap_fp is not None:
+            spark.createDataFrame([(snap_fp,)], "fp string").write.mode(
+                "overwrite"
+            ).parquet(snap_path)
+
+    # deterministic re-derivation: same input + params => same labels,
+    # m_slots, and segment bounds, so a resumed invocation recomputes the
+    # cheap sizing pre-pass instead of persisting it
     base, bc_map, labels, seed_arr, h, canonical, m_slots = _prep_build(
         spark, docs, key_col, text_col, shingle_w, num_hashes, occupancy,
         seeds, expected_entries, canonical, hash_family,
@@ -221,62 +282,63 @@ def build_mibf_store(
     bounds = _seg_bounds(m_slots, S)
     meta7 = (m_slots, h, shingle_w, labels, seed_arr, hash_family, canonical)
 
-    resolved_path = f"{path}/resolved"
-    _resolved_segments(
-        base, bc_map, m_slots, h, shingle_w, seed_arr, hash_family, canonical,
-        bounds, S,
-    ).write.mode("overwrite").parquet(resolved_path)
+    if state != "have_segments":
+        if state != "have_resolved":
+            _resolved_segments(
+                base, bc_map, m_slots, h, shingle_w, seed_arr, hash_family,
+                canonical, bounds, S,
+            ).write.mode("overwrite").parquet(resolved_path)
 
-    sat_slots = _sharded_lost_slots(
-        spark, base, meta7,
-        lambda s, lo, hi: _read_segment(spark, resolved_path, s, lo, hi),
-        bc_map, bounds,
-    )
-    bounds_b = bounds  # captured by value semantics via closure
+        sat_slots = _sharded_lost_slots(
+            spark, base, meta7,
+            lambda s, lo, hi: _read_segment(spark, resolved_path, s, lo, hi),
+            bc_map, bounds,
+        )
+        bounds_b = bounds  # captured by value semantics via closure
 
-    def tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            sl = pdf["slot"].to_numpy().astype(np.int64)
-            seg = (np.searchsorted(bounds_b, sl, side="right") - 1).astype(np.int32)
-            yield pd.DataFrame({"seg": seg, "slot": sl})
+        def tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                sl = pdf["slot"].to_numpy().astype(np.int64)
+                seg = (np.searchsorted(bounds_b, sl, side="right") - 1).astype(np.int32)
+                yield pd.DataFrame({"seg": seg, "slot": sl})
 
-    sat_tagged = sat_slots.mapInPandas(
-        tag, schema="seg int, slot long"
-    )
-
-    def finalize(key, seg_pdf: pd.DataFrame, sat_pdf: pd.DataFrame) -> pd.DataFrame:
-        s = int(key[0])
-        lo, hi = int(bounds_b[s]), int(bounds_b[s + 1])
-        if len(seg_pdf):
-            ids = np.frombuffer(bytes(seg_pdf["ids"].iloc[0]), dtype=np.uint16).copy()
-        else:  # saturation slots always target owned (resolved) slots, but
-            ids = np.zeros(hi - lo, dtype=np.uint16)  # stay total anyway
-        if len(sat_pdf):
-            ids[sat_pdf["slot"].to_numpy().astype(np.int64) - lo] |= SAT_BIT
-        counts = np.bincount(
-            (ids & ID_MASK).astype(np.int64), minlength=L + 1
-        ).astype(np.int64)
-        return pd.DataFrame(
-            {
-                "seg": [s],
-                "ids": [ids.tobytes()],
-                "label_counts": [counts.tobytes()],
-                "sat_n": [int(((ids & SAT_BIT) != 0).sum())],
-            }
+        sat_tagged = sat_slots.mapInPandas(
+            tag, schema="seg int, slot long"
         )
 
-    resolved_df = spark.read.parquet(resolved_path)
-    final = (
-        resolved_df.groupby("seg")
-        .cogroup(sat_tagged.groupby("seg"))
-        .applyInPandas(finalize, schema=_FINAL_SEG_SCHEMA)
-    )
-    final.write.mode("overwrite").parquet(f"{path}/segments")
-    _delete_dir(spark, resolved_path)
+        def finalize(key, seg_pdf: pd.DataFrame, sat_pdf: pd.DataFrame) -> pd.DataFrame:
+            s = int(key[0])
+            lo, hi = int(bounds_b[s]), int(bounds_b[s + 1])
+            if len(seg_pdf):
+                ids = np.frombuffer(bytes(seg_pdf["ids"].iloc[0]), dtype=np.uint16).copy()
+            else:  # saturation slots always target owned (resolved) slots, but
+                ids = np.zeros(hi - lo, dtype=np.uint16)  # stay total anyway
+            if len(sat_pdf):
+                ids[sat_pdf["slot"].to_numpy().astype(np.int64) - lo] |= SAT_BIT
+            counts = np.bincount(
+                (ids & ID_MASK).astype(np.int64), minlength=L + 1
+            ).astype(np.int64)
+            return pd.DataFrame(
+                {
+                    "seg": [s],
+                    "ids": [ids.tobytes()],
+                    "label_counts": [counts.tobytes()],
+                    "sat_n": [int(((ids & SAT_BIT) != 0).sum())],
+                }
+            )
+
+        resolved_df = spark.read.parquet(resolved_path)
+        final = (
+            resolved_df.groupby("seg")
+            .cogroup(sat_tagged.groupby("seg"))
+            .applyInPandas(finalize, schema=_FINAL_SEG_SCHEMA)
+        )
+        final.write.mode("overwrite").parquet(seg_path)
+        _delete_dir(spark, resolved_path)
 
     # O(S) rows of O(L) stats — the only thing the driver aggregates
     stat_rows = (
-        spark.read.parquet(f"{path}/segments")
+        spark.read.parquet(seg_path)
         .select("label_counts", "sat_n")
         .collect()
     )
@@ -296,7 +358,7 @@ def build_mibf_store(
         [(m_slots, h, shingle_w, list(labels), seed_strs, hash_family,
           canonical, S, label_counts.tobytes(), sat_total)],
         _META_SCHEMA,
-    ).write.mode("overwrite").parquet(f"{path}/meta")
+    ).write.mode("overwrite").parquet(meta_path)
     return MIBFStore(
         path, m_slots, h, shingle_w, list(labels), seed_arr, hash_family,
         canonical, S, label_counts, sat_total,

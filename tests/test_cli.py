@@ -113,3 +113,30 @@ def test_categorizer_fq_gz_demux(spark, fasta_fixtures, tmp_path):
         recs.extend(gzip.open(gz, "rt").read().splitlines())
     assert len(recs) == 30 * 4  # 30 planted reads, 4 FASTQ lines each
     assert recs[0].startswith("@r") and recs[2] == "+"
+
+
+def test_mimaker_store_roundtrip(spark, tmp_path, capsys):
+    """--store: the parquet-segment miBF store through the CLI twins —
+    micategorizer auto-detects the layout and classifies shard-by-shard,
+    matching the single-array filter's summary exactly."""
+    out = tmp_path / "mi"
+    common = ["-p", "langs", "-o", str(out), "--key-col", "lang",
+              "-k", "3", "-b", "0.5",
+              "/root/testdata/sf0.001/documents.parquet"]
+    assert main(["mimaker", *common]) == 0
+    assert main(["mimaker", "--store", *common]) == 0
+    assert main(["micategorizer", "-f", str(out / "langs_mibf.parquet"),
+                 "-p", str(out / "dense"),
+                 "/root/testdata/sf0.001/documents.parquet"]) == 0
+    assert main(["micategorizer", "-f", str(out / "langs_mibf_store"),
+                 "-p", str(out / "store"),
+                 "/root/testdata/sf0.001/documents.parquet"]) == 0
+    capsys.readouterr()
+    import pandas as pd
+
+    dense = pd.read_csv(out / "dense_summary.tsv", sep="\t")
+    store = pd.read_csv(out / "store_summary.tsv", sep="\t")
+    pd.testing.assert_frame_equal(
+        dense.sort_values("assigned").reset_index(drop=True),
+        store.sort_values("assigned").reset_index(drop=True),
+    )

@@ -203,6 +203,88 @@ class TestCategorizer:
             (r["assigned"], tuple(r["hits"]), r["n_frames"]) for r in res
         ) == sorted((r["assigned"], tuple(r["hits"]), r["n_frames"]) for r in single)
 
+    def test_chunked_single_filter_matches_single_pass(self, spark, corpus, registry):
+        """A cap smaller than every single bitmap forces word-range
+        chunking of EVERY filter: each pass broadcasts one bitmap slice,
+        per-frame hits OR-stitch across passes, and the reassembled hit
+        vectors must score byte-identically to the single-pass path — no
+        filter has to fit in one broadcast (Spark's 8 GB cap at scale)."""
+        from biobloom_spark.operators.categorizer import _plan_passes
+
+        cap = min(len(f["bitmap"]) for f in registry) // 3
+        passes = _plan_passes(registry, cap)
+        assert all(p[0] == "chunk" for p in passes)
+        assert len(passes) >= 2 * len(registry)
+        for cfg in (
+            CategorizerConfig(),
+            CategorizerConfig(mode="besthit"),
+            CategorizerConfig(scoring=ScoringConfig(method="binomial")),
+        ):
+            key = lambda rows: {
+                r["url"]: (r["assigned"], tuple(r["hits"]), r["n_frames"],
+                           tuple(round(s, 9) for s in r["scores"]))
+                for r in rows
+            }
+            one = key(categorize(spark, corpus, registry, cfg, id_col="url").collect())
+            chunked = key(
+                categorize(spark, corpus, registry, cfg, id_col="url",
+                           max_broadcast_bytes=cap).collect()
+            )
+            assert one == chunked
+
+    def test_chunked_mixed_with_full_shards(self, spark, corpus, registry):
+        """A cap between the largest and smallest bitmap chunks only the
+        oversized filter(s) and groups the rest — the mixed plan must still
+        match single-pass output exactly."""
+        from biobloom_spark.operators.categorizer import _plan_passes
+
+        sizes = sorted(len(f["bitmap"]) for f in registry)
+        cap = sizes[-1] - 8  # chunk the biggest, keep the rest whole
+        passes = _plan_passes(registry, cap)
+        kinds = {p[0] for p in passes}
+        assert kinds == {"full", "chunk"}
+        key = lambda rows: {
+            r["url"]: (r["assigned"], tuple(r["hits"]), r["n_frames"],
+                       tuple(round(s, 9) for s in r["scores"]))
+            for r in rows
+        }
+        one = key(categorize(spark, corpus, registry, id_col="url").collect())
+        mixed = key(
+            categorize(spark, corpus, registry, id_col="url",
+                       max_broadcast_bytes=cap).collect()
+        )
+        assert one == mixed
+
+    def test_chunked_cacheline_layout(self, spark, corpus):
+        """Word-range chunking over the 512-bit cache-line layout (probe
+        math differs from the 64-bit-word layout)."""
+        reg512 = load_registry(build_filters(
+            spark, corpus, key_col="lang", text_col="text", id_col="url",
+            params=BloomParams(block_bits=512),
+            build=BuildConfig(num_buckets=8, merge_groups=4),
+        ))
+        cap = min(len(f["bitmap"]) for f in reg512) // 2
+        key = lambda rows: {
+            r["url"]: (r["assigned"], tuple(r["hits"]),
+                       tuple(round(s, 9) for s in r["scores"]))
+            for r in rows
+        }
+        one = key(categorize(spark, corpus, reg512, id_col="url").collect())
+        chunked = key(
+            categorize(spark, corpus, reg512, id_col="url",
+                       max_broadcast_bytes=cap).collect()
+        )
+        assert one == chunked
+
+    def test_chunked_classic_layout_rejected(self, spark, corpus, registry):
+        """The classic layout spreads probes across the whole bitmap — an
+        oversized classic filter must fail loudly, not shard wrongly."""
+        from biobloom_spark.operators.categorizer import _plan_passes
+
+        classic = [dict(f, block_bits=0) for f in registry]
+        with pytest.raises(ValueError, match="cannot shard by word range"):
+            _plan_passes(classic, min(len(f["bitmap"]) for f in classic) // 2)
+
     def test_summarize_exploded_equals_wide(self, spark):
         """The explode-based summary (large filter sets) must reproduce the
         wide-agg summary exactly, and stay cheap at 600 filters where the
@@ -361,3 +443,21 @@ class TestFusedSummary:
             for r in summarize_fused(spark, corpus, registry, id_col="url").collect()
         }
         assert classic == fused
+
+    def test_fused_sharded_escape_hatch(self, spark, corpus, registry):
+        """Past the broadcast budget the fused summary must route through
+        the sharded (chunking) categorize and still match exactly."""
+        from biobloom_spark.operators.categorizer import summarize_fused
+
+        cap = min(len(f["bitmap"]) for f in registry) // 2
+        direct = {
+            r["filter_id"]: (r["hits"], r["unique"], r["shared"])
+            for r in summarize_fused(spark, corpus, registry, id_col="url").collect()
+        }
+        capped = {
+            r["filter_id"]: (r["hits"], r["unique"], r["shared"])
+            for r in summarize_fused(
+                spark, corpus, registry, id_col="url", max_broadcast_bytes=cap
+            ).collect()
+        }
+        assert direct == capped

@@ -616,3 +616,51 @@ class TestStore:
             for r in classify_mibf_store_pairs(spark, pairs, store).collect()
         }
         assert dense == from_store
+
+    def test_store_resume_from_kill(self, spark, labeled_corpus, tmp_path, monkeypatch):
+        """Checkpointed lifecycle: kill after the resolution stage, resume
+        without repeating it; later stages checkpoint too; a param change
+        invalidates the snapshot and rebuilds from scratch."""
+        import biobloom_spark.operators.mibf_store as ms
+
+        path = str(tmp_path / "resume")
+        kw = dict(
+            key_col="lang", occupancy=0.5, min_segments=4, segment_bytes=1,
+            resume=True, snapshot_id="snap-a",
+        )
+        reference = build_mibf(spark, labeled_corpus, key_col="lang", occupancy=0.5)
+
+        def boom(*a, **k):
+            raise RuntimeError("killed mid-build")
+
+        # run 1: dies between resolution and saturation — resolved is
+        # checkpointed, segments/meta are not
+        monkeypatch.setattr(ms, "_sharded_lost_slots", boom)
+        with pytest.raises(RuntimeError, match="killed"):
+            ms.build_mibf_store(spark, labeled_corpus, path, **kw)
+        monkeypatch.undo()
+        assert ms._stage_done(spark, f"{path}/resolved")
+        assert not ms._stage_done(spark, f"{path}/segments")
+
+        # run 2: resumes past resolution (which would now raise) and
+        # completes identically to the dense build
+        monkeypatch.setattr(ms, "_resolved_segments", boom)
+        store = ms.build_mibf_store(spark, labeled_corpus, path, **kw)
+        monkeypatch.undo()
+        assert store.to_sketch(spark).serialize() == reference.serialize()
+
+        # run 3: complete store short-circuits before the sizing pass
+        monkeypatch.setattr(ms, "_prep_build", boom)
+        again = ms.build_mibf_store(spark, labeled_corpus, path, **kw)
+        monkeypatch.undo()
+        assert again.label_counts.tolist() == store.label_counts.tolist()
+        assert again.to_sketch(spark).serialize() == reference.serialize()
+
+        # run 4: changed snapshot id = different input -> full rebuild
+        # (stale state discarded, not resumed)
+        store2 = ms.build_mibf_store(
+            spark, labeled_corpus, path,
+            key_col="lang", occupancy=0.5, min_segments=4, segment_bytes=1,
+            resume=True, snapshot_id="snap-b",
+        )
+        assert store2.to_sketch(spark).serialize() == reference.serialize()
