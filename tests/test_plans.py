@@ -93,3 +93,22 @@ def test_mibf_classify_plan_is_shuffle_free(spark, pq_corpus):
     assert_no_shuffle(res, "classify_mibf")
     cols = scan_read_schema(res)
     assert set(cols) == {"url", "text"}, cols
+
+
+def test_chunked_categorize_one_stitch_shuffle(spark, pq_corpus):
+    """The sharded/chunked path's only shuffle is the single row-keyed
+    stitch (groupBy __row); each pass stays a map-side scan.  A refactor
+    that adds a second corpus shuffle per pass would still pass the
+    equivalence tests and melt at scale — pin it here."""
+    from biobloom_spark.plans import assert_no_cartesian
+
+    reg = load_registry(
+        build_filters(spark, pq_corpus, id_col="url",
+                      build=BuildConfig(num_buckets=1, merge_groups=1))
+    )
+    cap = min(len(f["bitmap"]) for f in reg) // 2
+    result = categorize(spark, pq_corpus, reg, id_col="url",
+                        max_broadcast_bytes=cap)
+    n = count_exchanges(result)
+    assert n == 1, f"expected exactly the stitch exchange, found {n}"
+    assert_no_cartesian(result, "chunked categorize")
