@@ -306,7 +306,7 @@ def _categorize_sharded(
     passes: list[tuple],
     cfg: CategorizerConfig,
     id_col: str,
-    text_col: str,
+    text_cols: list[str],
 ) -> DataFrame:
     """Multi-pass evaluation for registries beyond the broadcast budget.
 
@@ -333,23 +333,34 @@ def _categorize_sharded(
     the same projected plan, so the surrogate is stable across passes for
     deterministic sources (a file scan; the same assumption multi-pass
     evaluation already makes about the corpus content itself).
+
+    ``text_cols``: one column = single-read mode; two = paired mode —
+    each mate is scored independently per pass, the stitch reassembles
+    per-mate score/match rows, and the pair combine (AND / ``-i`` OR,
+    mean score — ``categorize_pairs`` semantics) runs before ``_assign``.
     """
     all_ids = [f["filter_id"] for f in filters]
     nF = len(filters)
+    M = len(text_cols)
     id_field = docs.schema[id_col]
-    keyed = docs.select(id_col, text_col).withColumn(
+    keyed = docs.select(id_col, *text_cols).withColumn(
         "__row", F.monotonically_increasing_id()
     )
+    tail = []
+    for m in range(M):
+        tail += [
+            T.StructField(f"n_frames{m}", T.LongType(), False),
+            T.StructField(f"scores{m}", T.ArrayType(T.DoubleType()), True),
+            T.StructField(f"matches{m}", T.ArrayType(T.BooleanType()), True),
+            T.StructField(f"hitidx{m}", T.BinaryType(), True),
+        ]
     part_schema = T.StructType(
         [
             T.StructField("__row", T.LongType(), False),
             id_field,
             T.StructField("__shard", T.IntegerType(), False),
-            T.StructField("n_frames", T.LongType(), False),
-            T.StructField("scores", T.ArrayType(T.DoubleType()), True),
-            T.StructField("matches", T.ArrayType(T.BooleanType()), True),
-            T.StructField("hitidx", T.BinaryType(), True),
         ]
+        + tail
     )
 
     def score_pass(shard: list[dict], si: int):
@@ -360,21 +371,22 @@ def _categorize_sharded(
             sketches = _make_sketches(flts)
             cache: dict = {}
             for pdf in batches:
-                frames, scores, matches = _score_texts(
-                    pdf[text_col].to_numpy(), flts, cfg, cache, sketches
-                )
                 n = len(pdf)
-                yield pd.DataFrame(
-                    {
-                        "__row": pdf["__row"].to_numpy(),
-                        id_col: pdf[id_col].to_numpy(),
-                        "__shard": si,
-                        "n_frames": frames,
-                        "scores": list(scores),
-                        "matches": list(matches),
-                        "hitidx": [None] * n,
-                    }
-                )
+                out = {
+                    "__row": pdf["__row"].to_numpy(),
+                    id_col: pdf[id_col].to_numpy(),
+                    "__shard": si,
+                }
+                for m, tcol in enumerate(text_cols):
+                    texts = pdf[tcol].fillna("").to_numpy()
+                    frames, scores, matches = _score_texts(
+                        texts, flts, cfg, cache, sketches
+                    )
+                    out[f"n_frames{m}"] = frames
+                    out[f"scores{m}"] = list(scores)
+                    out[f"matches{m}"] = list(matches)
+                    out[f"hitidx{m}"] = [None] * n
+                yield pd.DataFrame(out)
 
         return keyed.mapInPandas(run, schema=part_schema)
 
@@ -390,35 +402,35 @@ def _categorize_sharded(
             sl = bc.value
             cache: dict = {}
             for pdf in batches:
-                texts = pdf[text_col].to_numpy()
-                hashes, offsets, tok_h, tok_counts = batch_frames(
-                    texts, w, cache, canonical=canonical
-                )
-                mask = (
-                    flat_dust_mask(tok_h, tok_counts, w, scoring.dust_min_distinct)
-                    if scoring.dust
-                    else None
-                )
-                h1, h2 = km_probe(hashes)
-                hit = _chunk_hits(h1, h2, mask, meta, sl, lo_w, hi_w)
-                n = len(texts)
-                hidx = np.flatnonzero(hit)
-                doc = np.searchsorted(offsets, hidx, side="right") - 1
-                local = (hidx - offsets[doc]).astype(np.uint32)
-                cut = np.searchsorted(doc, np.arange(n + 1))
-                yield pd.DataFrame(
-                    {
-                        "__row": pdf["__row"].to_numpy(),
-                        id_col: pdf[id_col].to_numpy(),
-                        "__shard": si,
-                        "n_frames": np.diff(offsets),
-                        "scores": [None] * n,
-                        "matches": [None] * n,
-                        "hitidx": [
-                            local[cut[d] : cut[d + 1]].tobytes() for d in range(n)
-                        ],
-                    }
-                )
+                n = len(pdf)
+                out = {
+                    "__row": pdf["__row"].to_numpy(),
+                    id_col: pdf[id_col].to_numpy(),
+                    "__shard": si,
+                }
+                for m, tcol in enumerate(text_cols):
+                    texts = pdf[tcol].fillna("").to_numpy()
+                    hashes, offsets, tok_h, tok_counts = batch_frames(
+                        texts, w, cache, canonical=canonical
+                    )
+                    mask = (
+                        flat_dust_mask(tok_h, tok_counts, w, scoring.dust_min_distinct)
+                        if scoring.dust
+                        else None
+                    )
+                    h1, h2 = km_probe(hashes)
+                    hit = _chunk_hits(h1, h2, mask, meta, sl, lo_w, hi_w)
+                    hidx = np.flatnonzero(hit)
+                    doc = np.searchsorted(offsets, hidx, side="right") - 1
+                    local = (hidx - offsets[doc]).astype(np.uint32)
+                    cut = np.searchsorted(doc, np.arange(n + 1))
+                    out[f"n_frames{m}"] = np.diff(offsets)
+                    out[f"scores{m}"] = [None] * n
+                    out[f"matches{m}"] = [None] * n
+                    out[f"hitidx{m}"] = [
+                        local[cut[d] : cut[d + 1]].tobytes() for d in range(n)
+                    ]
+                yield pd.DataFrame(out)
 
         return keyed.mapInPandas(run, schema=part_schema)
 
@@ -431,12 +443,11 @@ def _categorize_sharded(
     for si in range(1, len(passes)):
         parts = parts.unionByName(one_pass(passes[si], si))
 
+    mate_cols = [c for m in range(M) for c in (f"scores{m}", f"matches{m}", f"hitidx{m}")]
     agg = parts.groupBy("__row").agg(
         F.first(id_col).alias(id_col),
-        F.max("n_frames").alias("n_frames"),
-        F.collect_list(F.struct("__shard", "scores", "matches", "hitidx")).alias(
-            "parts"
-        ),
+        *[F.max(f"n_frames{m}").alias(f"n_frames{m}") for m in range(M)],
+        F.collect_list(F.struct("__shard", *mate_cols)).alias("parts"),
     )
     schema = _result_schema(id_field)
     # pass si → target filter-index range (full) or filter index (chunk);
@@ -451,43 +462,60 @@ def _categorize_sharded(
         for gi in chunked
     }
     scoring_cfg = cfg.scoring
+    inclusive = bool(cfg.inclusive_pairs)
 
     def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n = len(pdf)
-            frames_arr = pdf["n_frames"].to_numpy().astype(np.int64)
-            offsets = np.zeros(n + 1, dtype=np.int64)
-            np.cumsum(frames_arr, out=offsets[1:])
-            scores = np.zeros((n, nF))
-            matches = np.zeros((n, nF), dtype=bool)
-            chunk_hits = {
-                gi: np.zeros(int(offsets[-1]), dtype=bool) for gi in chunked
-            }
-            for i, row_parts in enumerate(pdf["parts"]):
-                for p in row_parts:
-                    kind, a, b = pass_kind[int(p["__shard"])]
-                    if kind == "full":
-                        scores[i, a:b] = p["scores"]
-                        matches[i, a:b] = p["matches"]
-                    elif len(p["hitidx"]):
-                        loc = np.frombuffer(p["hitidx"], dtype=np.uint32).astype(
-                            np.int64
+            frames_total = np.zeros(n, dtype=np.int64)
+            mate_scores = []
+            mate_matches = []
+            for m in range(M):
+                frames_arr = pdf[f"n_frames{m}"].to_numpy().astype(np.int64)
+                frames_total += frames_arr
+                offsets = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(frames_arr, out=offsets[1:])
+                scores = np.zeros((n, nF))
+                matches = np.zeros((n, nF), dtype=bool)
+                chunk_hits = {
+                    gi: np.zeros(int(offsets[-1]), dtype=bool) for gi in chunked
+                }
+                for i, row_parts in enumerate(pdf["parts"]):
+                    for p in row_parts:
+                        kind, a, b = pass_kind[int(p["__shard"])]
+                        if kind == "full":
+                            scores[i, a:b] = p[f"scores{m}"]
+                            matches[i, a:b] = p[f"matches{m}"]
+                        elif len(p[f"hitidx{m}"]):
+                            loc = np.frombuffer(
+                                p[f"hitidx{m}"], dtype=np.uint32
+                            ).astype(np.int64)
+                            chunk_hits[a][offsets[i] + loc] = True
+                if chunked:
+                    batch = SegmentedBatch(np.empty(0, dtype=np.uint64), offsets)
+                    for gi in chunked:
+                        s, mm = score_batch(
+                            chunk_hits[gi], batch, scoring_cfg,
+                            light[gi]["fpr"], light[gi]["shingle_w"],
                         )
-                        chunk_hits[a][offsets[i] + loc] = True
-            if chunked:
-                batch = SegmentedBatch(np.empty(0, dtype=np.uint64), offsets)
-                for gi in chunked:
-                    s, m = score_batch(
-                        chunk_hits[gi], batch, scoring_cfg,
-                        light[gi]["fpr"], light[gi]["shingle_w"],
-                    )
-                    scores[:, gi] = s
-                    matches[:, gi] = m
+                        scores[:, gi] = s
+                        matches[:, gi] = mm
+                mate_scores.append(scores)
+                mate_matches.append(matches)
+            if M == 1:
+                scores, matches = mate_scores[0], mate_matches[0]
+            else:  # categorize_pairs combine semantics
+                matches = (
+                    (mate_matches[0] | mate_matches[1])
+                    if inclusive
+                    else (mate_matches[0] & mate_matches[1])
+                )
+                scores = (mate_scores[0] + mate_scores[1]) / 2.0
             hits, assigned, best, _sel = _assign(scores, matches, all_ids, cfg)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
-                    "n_frames": frames_arr,
+                    "n_frames": frames_total,
                     "scores": list(scores),
                     "hits": hits,
                     "assigned": assigned,
@@ -531,7 +559,7 @@ def categorize(
         passes = _plan_passes(filters, max_broadcast_bytes)
         if len(passes) > 1:
             return _categorize_sharded(
-                spark, docs, filters, passes, cfg, id_col, text_col
+                spark, docs, filters, passes, cfg, id_col, [text_col]
             )
     filter_ids = [f["filter_id"] for f in filters]
     bc = spark.sparkContext.broadcast(filters)
@@ -568,6 +596,7 @@ def categorize_pairs(
     id_col: str = "doc_id",
     text1_col: str = "text1",
     text2_col: str = "text2",
+    max_broadcast_bytes: int | None = None,
 ) -> DataFrame:
     """Paired classification: both mates scored, hit sets combined.
 
@@ -575,11 +604,22 @@ def categorize_pairs(
     (ResultsManager.hpp:153-175); ``cfg.inclusive_pairs`` switches to OR
     (``-i``, ResultsManager.hpp:95-152).  Pair score = mean of side scores
     (used only for besthit ranking).
+
+    ``max_broadcast_bytes``: same sharded/chunked escape hatch as
+    ``categorize`` — per-mate partials stitch on a row surrogate and the
+    pair combine runs before assignment.
     """
     from ..session import ensure_workers
 
     ensure_workers(spark)
     cfg = cfg or CategorizerConfig()
+    if max_broadcast_bytes is not None:
+        passes = _plan_passes(filters, max_broadcast_bytes)
+        if len(passes) > 1:
+            return _categorize_sharded(
+                spark, docs, filters, passes, cfg, id_col,
+                [text1_col, text2_col],
+            )
     filter_ids = [f["filter_id"] for f in filters]
     bc = spark.sparkContext.broadcast(filters)
     id_field = docs.schema[id_col]

@@ -276,6 +276,36 @@ class TestCategorizer:
         )
         assert one == chunked
 
+    def test_pairs_sharded_and_chunked_match_single_pass(self, spark, corpus, registry):
+        """categorize_pairs under a broadcast cap (filter shards AND
+        word-range chunks) must match the single-pass pairs output,
+        for both AND and inclusive-OR combines."""
+        rows = corpus.select("url", "text").limit(30).collect()
+        pairs = spark.createDataFrame(
+            [(r["url"], r["text"], rows[(i + 1) % len(rows)]["text"])
+             for i, r in enumerate(rows)]
+            + [("halfpair", rows[0]["text"], None)],
+            "url string, text1 string, text2 string",
+        )
+        caps = [
+            max(len(f["bitmap"]) for f in registry),      # filter shards
+            min(len(f["bitmap"]) for f in registry) // 3,  # chunks
+        ]
+        for inclusive in (False, True):
+            cfg = CategorizerConfig(inclusive_pairs=inclusive)
+            key = lambda rs: {
+                r["url"]: (r["assigned"], tuple(r["hits"]), r["n_frames"],
+                           tuple(round(s, 9) for s in r["scores"]))
+                for r in rs
+            }
+            one = key(categorize_pairs(spark, pairs, registry, cfg, id_col="url").collect())
+            for cap in caps:
+                multi = key(categorize_pairs(
+                    spark, pairs, registry, cfg, id_col="url",
+                    max_broadcast_bytes=cap,
+                ).collect())
+                assert one == multi, (inclusive, cap)
+
     def test_chunked_classic_layout_rejected(self, spark, corpus, registry):
         """The classic layout spreads probes across the whole bitmap — an
         oversized classic filter must fail loudly, not shard wrongly."""
