@@ -182,6 +182,9 @@ def _shard_filters(filters: list[dict], max_bytes: int) -> list[list[dict]]:
     return shards
 
 
+_MAX_CHUNK_PASSES = 128  # per oversized filter; see _plan_passes guard
+
+
 def _chunkable(f: dict) -> bool:
     """A single filter can shard by word range iff a frame's whole probe
     footprint lives in one block: the 64-bit-word layout (default) and the
@@ -228,6 +231,12 @@ def _plan_passes(filters: list[dict], max_bytes: int) -> list[tuple]:
             wpb = f.get("block_bits", 0) // 64  # words per block (1 or 8)
             n_words = f["m_bits"] // 64
             cw = max(wpb, (max_bytes // 8) // wpb * wpb)  # chunk words
+            # plan-size guard (mibf._clamp_segments twin): each chunk is a
+            # mapInPandas leg in one union — a degenerate budget must not
+            # turn into a 100k-leg plan; beyond the clamp the per-pass
+            # broadcast simply exceeds the cap (never wrong results)
+            min_cw = -(-n_words // _MAX_CHUNK_PASSES)
+            cw = max(cw, -(-min_cw // wpb) * wpb)
             for lo in range(0, n_words, cw):
                 passes.append(("chunk", gi, lo, min(lo + cw, n_words)))
             g_lo = gi + 1
