@@ -156,6 +156,25 @@ def q_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot dedup (keep-newest-per-key): the recrawl-dedup operator
+    over the events table — argmax by (ts, event_id) per user via a
+    combine-reduced struct-max agg (no window sort)."""
+    from biobloom_spark.operators.dedup import snapshot_dedup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    latest = snapshot_dedup(ev, key_col="user_id", ts_col="ts", tiebreak_col="event_id")
+    return latest.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("value").alias("value"),
+        # events.ts is TIMESTAMP_NTZ; session tz is pinned UTC so the cast
+        # is an identity reinterpretation, matching DuckDB's naive epoch_us
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard duplicate pairs at tau=0.5 (the SQL-checkable
     anchor for the MinHash/LSH scale path)."""
@@ -319,6 +338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_filter_hits": q_exact_filter_hits,
         "bloom_categorize_summary": q_bloom_categorize_summary,
         "exact_dedup_stats": q_exact_dedup_stats,
+        "latest_event_per_user": q_latest_event_per_user,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "simhash_dups": q_simhash_dups,
@@ -412,6 +432,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts
             FROM documents
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, event_id, event_type, value,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+              ) AS rn FROM events
+            ) WHERE rn = 1
         """,
         "ngram_jaccard_pairs": _SHINGLES_CTE
         + """

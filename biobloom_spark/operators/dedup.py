@@ -25,6 +25,7 @@ from .exact import shingle_frames
 
 __all__ = [
     "exact_dedup",
+    "snapshot_dedup",
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
@@ -51,6 +52,42 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
     w_min = F.min(id_col).over(Window.partitionBy("dup_group"))
     return d.withColumn("is_canonical", (F.col(id_col) == w_min))
+
+
+# ------------------------------------------------------------ snapshot dedup
+def snapshot_dedup(
+    docs: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Keep the newest capture per key — recrawl dedup for web corpora
+    (a Common-Crawl url is re-fetched across crawls; training pipelines
+    keep one snapshot).  The batch twin of
+    ``streaming.dedup_stream``'s keep-latest semantics.
+
+    Ties on ``ts_col`` break deterministically on ``tiebreak_col``
+    (largest wins; defaults to ``ts_col`` itself, i.e. exact ties keep an
+    arbitrary-but-stable row only when the full struct ties).
+
+    Scale shape: ``groupBy(key).agg(max(struct(ts, tiebreak, payload)))``
+    — max over a struct compares fields left-to-right, so this is the
+    argmax without a window sort; Catalyst runs it with map-side partial
+    aggregation (one combine-reduced shuffle on the key), strictly
+    cheaper at 100 TB than ``row_number() OVER`` (full shuffle + per-key
+    sort, no partial aggregation).
+    """
+    tiebreak_col = tiebreak_col or ts_col
+    payload = [c for c in docs.columns if c != key_col]
+    ordered = [ts_col, tiebreak_col] + [
+        c for c in payload if c not in (ts_col, tiebreak_col)
+    ]
+    top = docs.groupBy(key_col).agg(
+        F.max(F.struct(*ordered)).alias("__top")
+    )
+    return top.select(
+        key_col, *[F.col(f"__top.{c}").alias(c) for c in payload]
+    )
 
 
 # ------------------------------------------------------- exact n-gram jaccard

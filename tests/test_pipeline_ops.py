@@ -61,6 +61,33 @@ class TestDedup:
         canon = res.filter(~F.col("is_canonical")).collect()
         assert [r["doc_id"] for r in canon] == [60]
 
+    def test_snapshot_dedup_keeps_newest_per_key(self, spark):
+        from datetime import datetime
+
+        from biobloom_spark.operators.dedup import snapshot_dedup
+
+        rows = [
+            # url A: three crawls, newest is id 3
+            ("a", datetime(2024, 1, 1), 1, "old"),
+            ("a", datetime(2024, 3, 1), 3, "new"),
+            ("a", datetime(2024, 2, 1), 2, "mid"),
+            # url B: exact ts tie → larger tiebreak id wins
+            ("b", datetime(2024, 1, 1), 4, "tie-lo"),
+            ("b", datetime(2024, 1, 1), 5, "tie-hi"),
+            # url C: single row passes through
+            ("c", datetime(2024, 5, 1), 6, "only"),
+        ]
+        df = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, doc_id long, text string"
+        )
+        got = {
+            r["url"]: (r["doc_id"], r["text"])
+            for r in snapshot_dedup(df, "url", "warc_ts", "doc_id").collect()
+        }
+        assert got == {"a": (3, "new"), "b": (5, "tie-hi"), "c": (6, "only")}
+        # schema passes every payload column through unchanged
+        assert set(snapshot_dedup(df, "url", "warc_ts", "doc_id").columns) == set(df.columns)
+
     def test_ngram_jaccard_exact_pairs(self, spark, dup_docs):
         pairs = ngram_jaccard_pairs(dup_docs, threshold=0.5).collect()
         got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
