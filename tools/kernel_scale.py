@@ -177,7 +177,10 @@ def main() -> None:
     lo = run_k(filters, texts, args.n_procs, args.pages_per_proc)
     hi = run_k(filters, texts, hi_k, args.pages_per_proc)
     calib = run_calibration(args.n_procs)
-    eff = lo["wall_s"] / (4 * hi["wall_s"])  # equal pages/proc → time ratio
+    # equal pages PER PROC: 4N procs do 4x the total work, so perfect
+    # scaling = constant wall; efficiency = throughput ratio / 4 =
+    # lo_wall / hi_wall (NOT /4 — that formula is for fixed total work)
+    eff = lo["wall_s"] / hi["wall_s"]
     report = {
         "bitmap_mb": round(total_mb, 1),
         "n_filters": len(filters),
