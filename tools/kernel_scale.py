@@ -85,21 +85,51 @@ def _load_filters() -> list[dict]:
     return out
 
 
-def _load_pages(n: int):
-    """First n corpus pages' text (numpy object array), via pyarrow."""
+def _load_pages(n: int, with_lang: bool = False):
+    """First n corpus pages' text (numpy object arrays), via pyarrow."""
     import glob
 
+    import numpy as np
     import pyarrow.parquet as pq
 
-    texts = []
+    cols = ["lang", "text"] if with_lang else ["text"]
+    texts, langs = [], []
     for f in sorted(glob.glob(os.path.join(CORPUS_PATH, "*.parquet"))):
-        t = pq.read_table(f, columns=["text"])
+        t = pq.read_table(f, columns=cols)
         texts.extend(t.column("text").to_pylist())
+        if with_lang:
+            langs.extend(t.column("lang").to_pylist())
         if len(texts) >= n:
             break
-    import numpy as np
+    texts = np.array(texts[:n], dtype=object)
+    if not with_lang:
+        return texts
+    return np.array(langs[:n], dtype=object), texts
 
-    return np.array(texts[:n], dtype=object)
+
+def _child_build(langs, texts, lo, hi, barrier, q):
+    """Build map-side kernel: the zero-shuffle partial builder
+    (maker._build_partition_fn) over real (lang, text) batches — what every
+    build task runs before the segment shuffle.  Consuming the generator
+    materializes the sparse slice rows exactly as the Arrow bridge would."""
+    import pandas as pd
+
+    from biobloom_spark.config import BloomParams, BuildConfig
+    from biobloom_spark.operators.maker import _build_partition_fn
+
+    fn = _build_partition_fn(BloomParams(), BuildConfig(), "text", "filter_id", None, None)
+
+    def run_slice(a, b):
+        pdf = pd.DataFrame({"filter_id": langs[a:b], "text": texts[a:b]})
+        for _out in fn(iter([pdf])):
+            pass
+
+    run_slice(lo, lo + min(500, hi - lo))  # untimed warm chunk
+    barrier.wait()
+    t0 = time.perf_counter()
+    for a in range(lo, hi, BATCH):
+        run_slice(a, min(a + BATCH, hi))
+    q.put(time.perf_counter() - t0)
 
 
 def _child(filters, texts, lo, hi, barrier, q):
@@ -122,7 +152,7 @@ def _child(filters, texts, lo, hi, barrier, q):
     q.put(time.perf_counter() - t0)
 
 
-def run_k(filters, texts, k: int, pages_per_proc: int) -> dict:
+def run_k(child, common_args: tuple, k: int, pages_per_proc: int) -> dict:
     barrier = mp.Barrier(k + 1)
     q: mp.Queue = mp.Queue()
     procs = []
@@ -130,7 +160,7 @@ def run_k(filters, texts, k: int, pages_per_proc: int) -> dict:
         lo = i * pages_per_proc
         procs.append(
             mp.Process(
-                target=_child, args=(filters, texts, lo, lo + pages_per_proc, barrier, q)
+                target=child, args=(*common_args, lo, lo + pages_per_proc, barrier, q)
             )
         )
         procs[-1].start()
@@ -153,6 +183,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-procs", type=int, default=2)
     ap.add_argument("--pages-per-proc", type=int, default=40_000)
+    ap.add_argument("--phase", choices=("categorize", "build"), default="categorize")
     args = ap.parse_args()
 
     # same glibc pinning as session.get_spark — fresh page faults on this
@@ -166,24 +197,41 @@ def main() -> None:
         os.environ["MALLOC_TRIM_THRESHOLD_"] = "2147483647"
         os.execv(sys.executable, [sys.executable] + sys.argv)
 
-    prepare()
-    filters = _load_filters()
-    total_mb = sum(len(f["bitmap"]) for f in filters) / 2**20
     hi_k = 4 * args.n_procs
-    texts = _load_pages(hi_k * args.pages_per_proc)
+    if args.phase == "categorize":
+        prepare()
+        filters = _load_filters()
+        total_mb = sum(len(f["bitmap"]) for f in filters) / 2**20
+        n_filters = len(filters)
+        texts = _load_pages(hi_k * args.pages_per_proc)
+        child, common = _child, (filters, texts)
+        desc = (
+            f"real `_score_texts` kernel against the real"
+            f" {total_mb:.0f} MB registry ({n_filters} filters)"
+        )
+    else:
+        langs, texts = _load_pages(hi_k * args.pages_per_proc, with_lang=True)
+        total_mb, n_filters = 0.0, 0
+        child, common = _child_build, (langs, texts)
+        desc = (
+            "build map-side kernel (`maker._build_partition_fn`: hash +"
+            " sort + sparse-partial pack, everything a build task runs"
+            " before the segment shuffle)"
+        )
 
     from tools.scaling_bench import run_calibration
 
-    lo = run_k(filters, texts, args.n_procs, args.pages_per_proc)
-    hi = run_k(filters, texts, hi_k, args.pages_per_proc)
+    lo = run_k(child, common, args.n_procs, args.pages_per_proc)
+    hi = run_k(child, common, hi_k, args.pages_per_proc)
     calib = run_calibration(args.n_procs)
     # equal pages PER PROC: 4N procs do 4x the total work, so perfect
     # scaling = constant wall; efficiency = throughput ratio / 4 =
     # lo_wall / hi_wall (NOT /4 — that formula is for fixed total work)
     eff = lo["wall_s"] / hi["wall_s"]
     report = {
+        "phase": args.phase,
         "bitmap_mb": round(total_mb, 1),
-        "n_filters": len(filters),
+        "n_filters": n_filters,
         "calibration": calib,
         f"kernel_{args.n_procs}p": lo,
         f"kernel_{hi_k}p": hi,
@@ -196,11 +244,10 @@ def main() -> None:
 
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH.md"), "a") as f:
         f.write(
-            f"\n## Categorize-kernel scaling isolation ({time.strftime('%Y-%m-%d %H:%M:%S')})\n\n"
+            f"\n## {args.phase.capitalize()}-kernel scaling isolation ({time.strftime('%Y-%m-%d %H:%M:%S')})\n\n"
             f"No Spark alive: {args.n_procs} vs {hi_k} forked processes, each"
-            f" running the real `_score_texts` kernel over {args.pages_per_proc:,}"
-            f" real corpus pages in {BATCH:,}-page chunks against the real"
-            f" {total_mb:.0f} MB registry ({len(filters)} filters), barrier-"
+            f" running the {desc} over {args.pages_per_proc:,}"
+            f" real corpus pages in {BATCH:,}-page chunks, barrier-"
             f"synchronized start after an untimed warm chunk.  Simultaneous"
             f" pure-CPU calibration: {calib[f'cpu_speedup_{args.n_procs}p']}x @"
             f" {args.n_procs}p, {calib[f'cpu_speedup_{hi_k}p']}x @ {hi_k}p →"
