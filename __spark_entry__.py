@@ -209,6 +209,22 @@ def q_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weight distribution (skew measurement pre-pass for
+    salted repartitioning): exact counts, char weight, share."""
+    from biobloom_spark.operators.skew import key_distribution
+
+    return key_distribution(_docs(spark, sf_dir), "source", "n_chars")
+
+
+def q_domain_skew_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row skew summary (top-1 share, HHI, effective key count) —
+    the do-I-need-to-salt decision input."""
+    from biobloom_spark.operators.skew import key_distribution, skew_metrics
+
+    return skew_metrics(key_distribution(_docs(spark, sf_dir), "source", "n_chars"))
+
+
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality features + composite score (pure arithmetic)."""
     from biobloom_spark.operators.textstats import quality_score
@@ -343,6 +359,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "simhash_dups": q_simhash_dups,
         "token_stats_by_lang": q_token_stats_by_lang,
+        "domain_stats": q_domain_stats,
+        "domain_skew_metrics": q_domain_skew_metrics,
         "doc_quality": q_doc_quality,
         "embedding_topk": q_embedding_topk,
         "ivf_topk": q_ivf_topk,
@@ -432,6 +450,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts
             FROM documents
+        """,
+        "domain_stats": """
+            SELECT source AS key,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(n_chars) AS DOUBLE) AS weight,
+                   ROUND(CAST(SUM(n_chars) AS DOUBLE)
+                         / SUM(CAST(SUM(n_chars) AS DOUBLE)) OVER (), 6) AS share
+            FROM documents GROUP BY source
+        """,
+        "domain_skew_metrics": """
+            WITH k AS (
+              SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS w
+              FROM documents GROUP BY source
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                   ROUND(MAX(w) / SUM(w), 6) AS top1_share,
+                   ROUND(SUM(w * w) / (SUM(w) * SUM(w)), 6) AS hhi,
+                   ROUND(SUM(w) * SUM(w) / SUM(w * w), 2) AS effective_keys
+            FROM k
         """,
         "latest_event_per_user": """
             SELECT user_id, event_id, event_type, value,
