@@ -68,7 +68,7 @@ from ..sources.tables import (
     REGISTRY_SCHEMA,
 )
 
-__all__ = ["size_filters", "build_filters", "load_registry"]
+__all__ = ["size_filters", "build_filters", "load_registry", "merge_registries"]
 
 _HLL_P = 14
 _CMS_W, _CMS_D = 8192, 5
@@ -882,6 +882,116 @@ def build_filters(
         registry.write.mode("overwrite").parquet(registry_path)
         registry = spark.read.parquet(registry_path)
     return registry
+
+
+#: registry columns that must agree for two builds of the same filter_id
+#: to be OR-mergeable (same probe layout = same bit positions)
+_MERGE_COMPAT_COLS = (
+    "layout_version", "m_bits", "num_hashes", "block_bits", "shingle_w",
+    "canonical", "hash_family", "seg_offsets",
+)
+
+
+def _merge_registry_fn():
+    """applyInPandas kernel: OR-merge all registry rows of one filter_id
+    (from k unioned registries) into one row."""
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = [f.name for f in REGISTRY_SCHEMA.fields]
+        if len(pdf) == 1:
+            return pdf[cols]
+        fid = str(key[0])
+        first = pdf.iloc[0]
+        for col in _MERGE_COMPAT_COLS:
+            vals = {
+                bytes(v) if isinstance(v, (bytes, bytearray, memoryview)) else v
+                for v in pdf[col].map(lambda x: x if x is not None else None)
+            }
+            if len(vals) > 1:
+                raise ValueError(
+                    f"registry rows for {fid!r} disagree on {col} "
+                    f"({sorted(map(str, vals))[:4]}) — filters built with "
+                    "different probe layouts cannot be OR-merged; rebuild "
+                    "with pinned expected_sizing"
+                )
+        m, h = int(first["m_bits"]), int(first["num_hashes"])
+        bb = int(first["block_bits"])
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        hll = HLLSketch(p=_HLL_P)
+        cms = CountMinSketch(width=_CMS_W, depth=_CMS_D)
+        td = TDigestSketch()
+        kll = KLLSketch()
+        n_docs = n_ins = sum_entries = max_entries = 0
+        for _, row in pdf.iterrows():
+            bits |= np.frombuffer(bytes(row["bitmap"]), dtype=np.uint8)
+            n_docs += int(row["n_docs"])
+            n_ins += int(row["n_inserted"])
+            ne = int(row["num_entries"])
+            sum_entries += ne
+            max_entries = max(max_entries, ne)
+            if row["hll"] is not None:
+                hll = hll.merge(HLLSketch.deserialize(bytes(row["hll"]), p=_HLL_P))
+            if row["cms"] is not None:
+                cms = cms.merge(
+                    CountMinSketch.deserialize(bytes(row["cms"]), _CMS_W, _CMS_D)
+                )
+            if row["tdigest"] is not None:
+                td = td.merge(TDigestSketch.deserialize(bytes(row["tdigest"])))
+            if row["kll"] is not None:
+                kll = kll.merge(KLLSketch.deserialize(bytes(row["kll"])))
+        so = first["seg_offsets"]
+        seg_off = np.frombuffer(bytes(so), dtype=np.int64) if so is not None else None
+        sk = BloomSketch(
+            m_bits=m, num_hashes=h, bits=bits, block_bits=bb, seg_offsets=seg_off
+        )
+        # distinct entries across parts is not exactly knowable post-merge
+        # (parts may share hashes): clamp the HLL estimate into its hard
+        # bounds [max part, sum of parts]
+        est = hll.estimate()
+        num_entries = int(min(sum_entries, max(max_entries, round(est))))
+        out = first.to_frame().T.copy()
+        out["bitmap"] = [bits.tobytes()]
+        out["n_docs"] = [n_docs]
+        out["n_inserted"] = [n_ins]
+        out["num_entries"] = [num_entries]
+        out["redundant_entries"] = [n_ins - num_entries]
+        out["approx_fpr"] = [approx_fpr(m, num_entries, h)]
+        out["occupancy_fpr"] = [sk.fpr_from_occupancy()]
+        out["distinct_frames_hll"] = [est]
+        out["hll"] = [hll.serialize()]
+        out["cms"] = [cms.serialize()]
+        out["tdigest"] = [td.serialize()]
+        out["kll"] = [kll.serialize()]
+        return out[cols]
+
+    return fn
+
+
+def merge_registries(*registries: DataFrame) -> DataFrame:
+    """OR-merge k filter registries into one (the incremental-build /
+    cross-corpus union operator, and the micro-batch reducer behind
+    ``streaming.build_stream``).
+
+    Rows with the same ``filter_id`` merge associatively: bitmaps OR
+    (Bloom union — the reference's filter-union semantics over identical
+    (m, h) layouts), companion sketches (HLL/CMS/t-digest/KLL) merge by
+    their own published merge rules, counters add.  Layout columns must
+    agree per filter_id (build the parts with the same pinned
+    ``expected_sizing``); a mismatch raises rather than silently probing
+    wrong positions.  Filter ids present in only some registries pass
+    through unchanged.
+
+    Distributed: one union + one groupBy(filter_id) applyInPandas —
+    bitmap-sized rows shuffle once, nothing gathers on the driver.
+    """
+    if not registries:
+        raise ValueError("merge_registries needs at least one registry")
+    uni = registries[0]
+    for r in registries[1:]:
+        uni = uni.unionByName(r)
+    return uni.groupBy("filter_id").applyInPandas(
+        _merge_registry_fn(), schema=REGISTRY_SCHEMA
+    )
 
 
 def load_registry(registry_df: DataFrame, order: Iterable[str] | None = None) -> list[dict]:

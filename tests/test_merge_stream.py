@@ -1,0 +1,188 @@
+"""Registry OR-merge (maker.merge_registries) and the Structured
+Streaming incremental build (streaming.build_stream): chopping the corpus
+into parts/micro-batches and merging must reproduce the one-shot batch
+build bit-for-bit."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from biobloom_spark.config import BloomParams
+from biobloom_spark.corpus import generate_corpus
+from biobloom_spark.operators.maker import (
+    build_filters,
+    load_registry,
+    merge_registries,
+    size_filters,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return generate_corpus(
+        spark, 240, seed=31, langs=("en", "de", "fr"), num_partitions=4
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def sizing(corpus):
+    return size_filters(corpus, "lang", "text", BloomParams())
+
+
+def _bitmaps(reg_df):
+    return {
+        r["filter_id"]: bytes(r["bitmap"])
+        for r in reg_df.select("filter_id", "bitmap").collect()
+    }
+
+
+class TestMergeRegistries:
+    def test_split_merge_equals_full_build(self, spark, corpus, sizing):
+        full = build_filters(
+            spark, corpus, id_col="url", expected_sizing=sizing
+        )
+        parts = [
+            build_filters(
+                spark,
+                corpus.filter(F.pmod(F.xxhash64("url"), F.lit(3)) == i),
+                id_col="url",
+                expected_sizing=sizing,
+            )
+            for i in range(3)
+        ]
+        merged = merge_registries(*parts)
+        assert _bitmaps(merged) == _bitmaps(full)
+        mrow = {r["filter_id"]: r for r in merged.collect()}
+        frow = {r["filter_id"]: r for r in full.collect()}
+        for fid, m in mrow.items():
+            f = frow[fid]
+            for col in ("m_bits", "num_hashes", "block_bits", "shingle_w",
+                        "canonical", "hash_family", "layout_version"):
+                assert m[col] == f[col]
+            assert m["n_docs"] == f["n_docs"]
+            assert m["n_inserted"] == f["n_inserted"]
+            # same bitmap → identical exact occupancy FPR
+            assert m["occupancy_fpr"] == pytest.approx(f["occupancy_fpr"])
+            # HLL-estimated distinct count stays within its hard bounds
+            assert m["num_entries"] <= m["n_inserted"]
+            assert m["num_entries"] >= 0.8 * f["num_entries"]
+            assert m["num_entries"] <= 1.2 * f["num_entries"]
+
+    def test_associativity(self, spark, corpus, sizing):
+        parts = [
+            build_filters(
+                spark,
+                corpus.filter(F.pmod(F.xxhash64("url"), F.lit(3)) == i),
+                id_col="url",
+                expected_sizing=sizing,
+            )
+            for i in range(3)
+        ]
+        left = merge_registries(merge_registries(parts[0], parts[1]), parts[2])
+        right = merge_registries(parts[0], merge_registries(parts[1], parts[2]))
+        assert _bitmaps(left) == _bitmaps(right)
+
+    def test_disjoint_ids_pass_through(self, spark, corpus, sizing):
+        en = build_filters(
+            spark, corpus.filter(F.col("lang") == "en"), id_col="url",
+            expected_sizing={"en": sizing["en"]},
+        )
+        de = build_filters(
+            spark, corpus.filter(F.col("lang") == "de"), id_col="url",
+            expected_sizing={"de": sizing["de"]},
+        )
+        merged = merge_registries(en, de)
+        assert sorted(r["filter_id"] for r in merged.collect()) == ["de", "en"]
+        assert _bitmaps(merged) == {**_bitmaps(en), **_bitmaps(de)}
+
+    def test_layout_mismatch_raises(self, spark, corpus, sizing):
+        a = build_filters(spark, corpus, id_col="url", expected_sizing=sizing)
+        other = {
+            k: {**v, "m_bits": v["m_bits"] * 2} for k, v in sizing.items()
+        }
+        b = build_filters(spark, corpus, id_col="url", expected_sizing=other)
+        with pytest.raises(Exception, match="disagree|OR-merged"):
+            merge_registries(a, b).collect()
+
+
+class TestBuildStream:
+    def test_stream_matches_batch_build(self, spark, tmp_path, corpus, sizing):
+        from biobloom_spark.streaming.build_stream import (
+            build_stream_writer,
+            latest_version,
+            load_latest_registry,
+        )
+        from biobloom_spark.streaming.categorize_stream import (
+            stream_from_parquet_dir,
+        )
+
+        src = str(tmp_path / "drop")
+        corpus.repartition(3).write.mode("overwrite").parquet(src)
+        reg_path = str(tmp_path / "registry")
+        stream = stream_from_parquet_dir(spark, src, max_files_per_trigger=1)
+        q = (
+            build_stream_writer(spark, stream, sizing, reg_path, id_col="url")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+        assert latest_version(reg_path) is not None
+        merged = load_latest_registry(spark, reg_path)
+        full = build_filters(spark, corpus, id_col="url", expected_sizing=sizing)
+        assert _bitmaps(merged) == _bitmaps(full)
+        assert (
+            merged.agg(F.sum("n_docs")).collect()[0][0]
+            == full.agg(F.sum("n_docs")).collect()[0][0]
+        )
+
+        # the folded registry classifies: every page hits its own filter
+        from biobloom_spark.operators.categorizer import categorize
+
+        res = categorize(spark, corpus, load_registry(merged), id_col="url")
+        joined = res.join(corpus.select("url", "lang"), "url")
+        assert (
+            joined.filter(F.expr("array_contains(hits, lang)")).count()
+            == corpus.count()
+        )
+
+    def test_restart_replay_is_idempotent(self, spark, tmp_path, corpus, sizing):
+        """Re-running the stream over the same source with a fresh
+        checkpoint must not double-fold committed batches (the committed
+        version dirs are the dedup record)."""
+        from biobloom_spark.streaming.build_stream import (
+            build_stream_writer,
+            load_latest_registry,
+        )
+        from biobloom_spark.streaming.categorize_stream import (
+            stream_from_parquet_dir,
+        )
+
+        src = str(tmp_path / "drop2")
+        corpus.repartition(2).write.mode("overwrite").parquet(src)
+        reg_path = str(tmp_path / "registry2")
+        for attempt in range(2):  # second run = full replay, same batch ids
+            stream = stream_from_parquet_dir(spark, src, max_files_per_trigger=1)
+            q = (
+                build_stream_writer(spark, stream, sizing, reg_path, id_col="url")
+                .option("checkpointLocation", str(tmp_path / f"ckpt2_{attempt}"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+        merged = load_latest_registry(spark, reg_path)
+        full = build_filters(spark, corpus, id_col="url", expected_sizing=sizing)
+        assert _bitmaps(merged) == _bitmaps(full)
+        # n_docs did not double
+        assert (
+            merged.agg(F.sum("n_docs")).collect()[0][0]
+            == full.agg(F.sum("n_docs")).collect()[0][0]
+        )
+
+    def test_rejects_batch_df(self, spark, corpus, sizing, tmp_path):
+        from biobloom_spark.streaming.build_stream import build_stream_writer
+
+        with pytest.raises(ValueError, match="streaming"):
+            build_stream_writer(spark, corpus, sizing, str(tmp_path / "r"))
