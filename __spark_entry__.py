@@ -225,6 +225,18 @@ def q_domain_skew_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_metrics(key_distribution(_docs(spark, sf_dir), "source", "n_chars"))
 
 
+def q_sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Companion-sketch audit: per filter, is each of HLL / count-min /
+    KLL / t-digest inside its published error bound against exact Spark
+    aggregates?  The oracle asserts every cell is true, so any sketch
+    drifting out of bound fails the value-hash gate."""
+    from biobloom_spark.operators.sketch_audit import sketch_error_report
+
+    return sketch_error_report(spark, _docs(spark, sf_dir)).select(
+        "filter_id", "hll_ok", "cms_ok", "kll_ok", "tdigest_ok"
+    )
+
+
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality features + composite score (pure arithmetic)."""
     from biobloom_spark.operators.textstats import quality_score
@@ -360,6 +372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups": q_simhash_dups,
         "token_stats_by_lang": q_token_stats_by_lang,
         "domain_stats": q_domain_stats,
+        "sketch_error_bounds": q_sketch_error_bounds,
         "domain_skew_metrics": q_domain_skew_metrics,
         "doc_quality": q_doc_quality,
         "embedding_topk": q_embedding_topk,
@@ -458,6 +471,12 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(SUM(n_chars) AS DOUBLE)
                          / SUM(CAST(SUM(n_chars) AS DOUBLE)) OVER (), 6) AS share
             FROM documents GROUP BY source
+        """,
+        "sketch_error_bounds": """
+            SELECT lang AS filter_id,
+                   true AS hll_ok, true AS cms_ok,
+                   true AS kll_ok, true AS tdigest_ok
+            FROM documents GROUP BY lang
         """,
         "domain_skew_metrics": """
             WITH k AS (
