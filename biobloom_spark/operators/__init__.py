@@ -5,8 +5,16 @@ from .categorizer import (
     summarize_fused,
     write_demultiplexed,
 )
-from .maker import build_filters, load_registry, size_filters
+from .maker import build_filters, load_registry, merge_registries, size_filters
 from .scoring import SegmentedBatch, score_batch
+from .sketch_audit import sketch_error_report
+from .skew import (
+    key_distribution,
+    plan_salts,
+    salted_repartition,
+    skew_metrics,
+    url_domain_col,
+)
 
 __all__ = [
     "categorize",
@@ -16,7 +24,14 @@ __all__ = [
     "write_demultiplexed",
     "build_filters",
     "load_registry",
+    "merge_registries",
     "size_filters",
     "SegmentedBatch",
     "score_batch",
+    "sketch_error_report",
+    "key_distribution",
+    "skew_metrics",
+    "plan_salts",
+    "salted_repartition",
+    "url_domain_col",
 ]
