@@ -112,3 +112,32 @@ def test_chunked_categorize_one_stitch_shuffle(spark, pq_corpus):
     n = count_exchanges(result)
     assert n == 1, f"expected exactly the stitch exchange, found {n}"
     assert_no_cartesian(result, "chunked categorize")
+
+
+def test_merge_registries_single_exchange(spark, pq_corpus, tmp_path):
+    """Registry OR-merge = union + one groupBy(filter_id): exactly one
+    shuffle of bitmap-sized rows on top of its (materialized) inputs,
+    nothing driver-side."""
+    from biobloom_spark.operators.maker import merge_registries, size_filters
+
+    sizing = size_filters(pq_corpus, "lang", "text", BloomParams())
+    regs = []
+    for i in range(2):
+        p = str(tmp_path / f"reg{i}")
+        build_filters(
+            spark, pq_corpus, id_col="url", expected_sizing=sizing
+        ).write.parquet(p)
+        regs.append(spark.read.parquet(p))
+    merged = merge_registries(*regs)
+    n = count_exchanges(merged)
+    assert n == 1, f"expected one merge exchange, found {n}"
+
+
+def test_key_distribution_no_global_window(spark, pq_corpus):
+    """Skew measurement must not single-task the key rows (broadcast
+    total, not a window over an unpartitioned frame)."""
+    from biobloom_spark.operators.skew import key_distribution
+    from biobloom_spark.plans import plan_string
+
+    dist = key_distribution(pq_corpus, "lang")
+    assert "Window" not in plan_string(dist, "simple")
