@@ -184,11 +184,42 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (approximate → rows-only; recall vs the
-    exact twin is pytest-verified)."""
-    from biobloom_spark.operators.dedup import minhash_lsh_pairs
+    """MinHash+LSH near-dup pipeline, production two-phase shape: LSH
+    proposes candidates, exact n-gram Jaccard verifies — never all-pairs.
 
-    return minhash_lsh_pairs(_docs(spark, sf_dir), w=SHINGLE_W, threshold=0.5)
+    Gate design: banding at r=2 (num_perm=128, bands=64) puts candidate
+    recall at tau=0.5 at 1-(1-s^2)^64 >= 1-1e-8 and the verify stage is
+    exact, so the output EQUALS the exact self-join twin
+    (ngram_jaccard_pairs) and the DuckDB oracle checks it end to end.
+    The estimator itself (est_jaccard, verify=True) stays pytest-verified
+    (S-curve + recall tests in tests/test_pipeline_ops.py)."""
+    from biobloom_spark.operators.dedup import exact_jaccard_on_pairs, minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir)
+    cand = minhash_lsh_pairs(
+        docs, w=SHINGLE_W, num_perm=128, bands=64, threshold=0.5, verify=False
+    )
+    return exact_jaccard_on_pairs(docs, cand, w=SHINGLE_W, threshold=0.5)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate-cluster collapse: LSH candidates → exact
+    verification → alternating large-star/small-star connected components
+    (Kiveris et al. 2014) → every doc labeled (cluster = min reachable doc
+    id, canonical = the survivor a keep-one dedup retains).
+
+    Oracle-checkable end to end because the verified pair set equals the
+    exact twin (see q_minhash_lsh_dups) and the DuckDB twin computes
+    components with a recursive CTE over the same exact pairs."""
+    from biobloom_spark.operators.cluster import dedup_clusters
+    from biobloom_spark.operators.dedup import exact_jaccard_on_pairs, minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir)
+    cand = minhash_lsh_pairs(
+        docs, w=SHINGLE_W, num_perm=128, bands=64, threshold=0.5, verify=False
+    )
+    pairs = exact_jaccard_on_pairs(docs, cand, w=SHINGLE_W, threshold=0.5)
+    return dedup_clusters(docs, pairs)
 
 
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -369,6 +400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event_per_user": q_latest_event_per_user,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_dups": q_minhash_lsh_dups,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_dups": q_simhash_dups,
         "token_stats_by_lang": q_token_stats_by_lang,
         "domain_stats": q_domain_stats,
@@ -618,8 +650,59 @@ def oracle_sql() -> dict[str, str]:
                    0.0 AS rate_shared
             FROM rows_, tot
         """,
+        # two-phase LSH pipeline: candidates (recall >= 1-1e-8 at tau) +
+        # exact verification == the exact self-join — same twin SQL
+        "minhash_lsh_dups": _SHINGLES_CTE
+        + """
+            , dsh AS (SELECT DISTINCT doc_id AS id, shingle FROM sh),
+            sizes AS (SELECT id, count(*) AS sz FROM dsh GROUP BY id),
+            inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+              FROM dsh a JOIN dsh b USING (shingle)
+              WHERE a.id < b.id GROUP BY a.id, b.id
+            )
+            SELECT id_a, id_b,
+                   ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+        """,
+        # connected components over the SAME exact pair set, via DuckDB's
+        # recursive CTE (min reachable doc id = cluster label)
+        "dedup_clusters": _SHINGLES_CTE.replace("WITH toks", "WITH RECURSIVE toks", 1)
+        + """
+            , dsh AS (SELECT DISTINCT doc_id AS id, shingle FROM sh),
+            sizes AS (SELECT id, count(*) AS sz FROM dsh GROUP BY id),
+            inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+              FROM dsh a JOIN dsh b USING (shingle)
+              WHERE a.id < b.id GROUP BY a.id, b.id
+            ),
+            pairs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN sizes sa ON sa.id = id_a
+              JOIN sizes sb ON sb.id = id_b
+              WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ),
+            reach AS (
+              SELECT src AS node, src AS lbl FROM edges
+              UNION
+              SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+            ),
+            comp AS (SELECT node, MIN(lbl) AS cluster FROM reach GROUP BY node)
+            SELECT d.doc_id,
+                   COALESCE(c.cluster, d.doc_id) AS cluster_id,
+                   COALESCE(c.cluster, d.doc_id) = d.doc_id AS is_canonical
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        """,
         # rows-only (approximate / hash-specific, pytest-verified instead):
-        # minhash_lsh_dups, simhash_dups, ivf_topk
+        # simhash_dups (the hamming distance IS the output), ivf_topk
     }
 
 

@@ -5,6 +5,7 @@ from .categorizer import (
     summarize_fused,
     write_demultiplexed,
 )
+from .cluster import connected_components, dedup_clusters
 from .maker import build_filters, load_registry, merge_registries, size_filters
 from .scoring import SegmentedBatch, score_batch
 from .sketch_audit import sketch_error_report
@@ -22,6 +23,8 @@ __all__ = [
     "summarize",
     "summarize_fused",
     "write_demultiplexed",
+    "connected_components",
+    "dedup_clusters",
     "build_filters",
     "load_registry",
     "merge_registries",

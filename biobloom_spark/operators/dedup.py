@@ -27,6 +27,7 @@ __all__ = [
     "exact_dedup",
     "snapshot_dedup",
     "ngram_jaccard_pairs",
+    "exact_jaccard_on_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash_signatures",
@@ -131,6 +132,65 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return out
+
+
+# ----------------------------------------------- exact verification stage
+def exact_jaccard_on_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """TRUE n-gram Jaccard for a candidate pair set — the verification
+    stage of the two-phase production dedup pipeline (sketch proposes,
+    exact verifies).
+
+    ``pairs`` carries (id_a, id_b) from any candidate generator
+    (minhash_lsh_pairs(verify=False), simhash blocks, exact-hash groups).
+    Cost is O(candidates), never all-pairs: the corpus is first
+    semi-joined down to the docs that appear in a candidate, only those
+    are shingled, intersections come from an equi-join on
+    (pair, shingle), and |A∪B| = |A|+|B|-|A∩B|.
+
+    Output (id_a, id_b, jaccard) is defined identically to
+    ``ngram_jaccard_pairs`` — when the candidate generator's recall over
+    ``threshold`` is total, the two are EQUAL, which is what makes an
+    LSH/simhash pipeline oracle-checkable end to end (the gate queries
+    use high-recall banding for exactly that).
+    """
+    # defensive dedup: a duplicated candidate row would double-count
+    # shingle intersections through the equi-join below
+    cand = pairs.select("id_a", "id_b").distinct()
+    ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sub = docs.join(ids, on=id_col, how="left_semi").select(id_col, text_col)
+    sh = (
+        shingle_frames(sub, text_col, w)
+        .select(F.col(id_col).alias("id"), "shingle")
+        .distinct()
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.join(sh.select(F.col("id").alias("id_a"), "shingle"), on="id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "shingle"), on=["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), on="id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), on="id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 # ----------------------------------------------------------------- minhash
@@ -377,8 +437,14 @@ def embedding_near_dups(
     Recall at cosine s: 1 - (1 - p^P)^L with p = 1 - acos(s)/pi — defaults
     (P=10, L=12) give ~0.994 at s=0.95 while random pairs collide at
     ~L*2^-P ≈ 1.2% per table pair universe (bucket-join, never all-pairs).
-    One UDF pass computes all L sketches; candidates dedup via
-    dropDuplicates before the exact verify.
+    One UDF pass computes all L sketches.
+
+    Exchange economics (mirrors minhash_lsh_pairs): the bucket join and
+    the candidate dedup move only (id, tbl, bucket) / (id_a, id_b) rows —
+    the d-float vectors ride NEITHER (the old shape shipped each vector L
+    times through the table join and twice per candidate through the
+    dedup); vectors re-join the deduped candidate ids once per side for
+    the exact-cosine verify.
     """
     dim_row = embs.select(F.size(vec_col).alias("d")).first()
     dim = int(dim_row["d"])
@@ -394,18 +460,20 @@ def embedding_near_dups(
         codes = ((proj > 0) * weights).sum(axis=2).astype(np.int64)  # (n, L)
         return pd.Series(list(codes))
 
+    vecs = embs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     s = (
-        embs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .withColumn("sk", sketch_all("v"))
-        .select("id", "v", F.posexplode("sk").alias("tbl", "bucket"))
+        vecs.withColumn("sk", sketch_all("v"))
+        .select("id", F.posexplode("sk").alias("tbl", "bucket"))
     )
-    lhs = s.select("tbl", "bucket", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    rhs = s.select("tbl", "bucket", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    lhs = s.select("tbl", "bucket", F.col("id").alias("id_a"))
+    rhs = s.select("tbl", "bucket", F.col("id").alias("id_b"))
     cand = (
         lhs.join(rhs, on=["tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "v_a", "v_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+        .join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), on="id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), on="id_b")
     )
     dot = F.expr("aggregate(zip_with(v_a, v_b, (x, y) -> x*y), 0D, (acc, p) -> acc + p)")
     norm = lambda c: F.sqrt(F.expr(f"aggregate(transform({c}, x -> x*x), 0D, (acc, p) -> acc + p)"))

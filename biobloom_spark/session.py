@@ -25,6 +25,11 @@ def ensure_workers(spark: SparkSession) -> None:
     if app_id in _SHIPPED:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if not os.path.isdir(pkg_dir):
+        # imported from a zip (spark-submit --py-files): the archive already
+        # rides with the job, nothing to ship
+        _SHIPPED.add(app_id)
+        return
     zip_path = os.path.join(
         tempfile.gettempdir(), f"biobloom_spark_{os.getpid()}.zip"
     )

@@ -141,3 +141,32 @@ def test_key_distribution_no_global_window(spark, pq_corpus):
 
     dist = key_distribution(pq_corpus, "lang")
     assert "Window" not in plan_string(dist, "simple")
+
+
+def test_exact_verify_stage_not_cartesian(spark, pq_corpus):
+    """The two-phase dedup verify (candidates → exact Jaccard) must stay
+    equi-join shaped: intersections from a (pair, shingle) join, never a
+    pairwise text comparison."""
+    from biobloom_spark.operators.dedup import exact_jaccard_on_pairs
+
+    cand = minhash_lsh_pairs(pq_corpus, id_col="url", num_perm=32, bands=16,
+                             threshold=0.5, verify=False)
+    verified = exact_jaccard_on_pairs(pq_corpus, cand, id_col="url",
+                                      text_col="text", threshold=0.5)
+    assert_no_cartesian(verified, "exact_jaccard_on_pairs")
+
+
+def test_connected_components_rounds_are_bucket_joins(spark):
+    """One large-star + small-star round over a symbolic edge set: all
+    equi-joins (no cartesian), bounded exchanges — the per-round cost the
+    O(log^2 n) convergence multiplies."""
+    from biobloom_spark.operators.cluster import _canonical, _large_star, _small_star
+
+    edges = _canonical(
+        spark.range(100).selectExpr("id AS u", "id % 17 AS v")
+    )
+    round1 = _small_star(_large_star(edges))
+    assert_no_cartesian(round1, "large/small star round")
+    # 2 aggregations + 2 joins worth of exchanges, but never corpus-scale:
+    # a blown-up plan here multiplies per ROUND, so pin an upper bound
+    assert count_exchanges(round1) <= 8, count_exchanges(round1)
