@@ -223,10 +223,29 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only)."""
+    """SimHash near-dup pairs, oracle-checked end to end: md5 shingle
+    hashes make the 64-bit simhash exactly recomputable in DuckDB, and
+    pigeonhole blocking (blocks > max_hamming) is lossless, so the engine's
+    bucket-join output equals the all-pairs Hamming-<=d set the twin
+    computes bit-by-bit (pack-free — SUM of per-bit sign disagreements)."""
     from biobloom_spark.operators.dedup import simhash_near_dups
 
-    return simhash_near_dups(_docs(spark, sf_dir), w=SHINGLE_W, max_hamming=12, blocks=16)
+    return simhash_near_dups(
+        _docs(spark, sf_dir), w=SHINGLE_W, max_hamming=12, blocks=16, hash_fn="md5"
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quota capping (corpus balancing): keep 20 docs per
+    lang by the deterministic md5 draw.  The declarative rank-limit plan
+    compiles to WindowGroupLimit (map-side partial top-n before the
+    shuffle) — the 100TB shape; the md5 order makes it exactly
+    twin-reproducible."""
+    from biobloom_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), "lang", 20).select(
+        "doc_id", "lang", "sample_rank"
+    )
 
 
 def q_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -289,8 +308,12 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN top-5 (approximate → rows-only; recall
-    pytest-verified against brute force)."""
+    """IVF-bucketed ANN top-5, oracle-checked end to end: every stage is
+    deterministic given the corpus (md5-ordered centroid sample → nearest-
+    centroid assignment → nprobe nearest lists per query → top-k within
+    probed lists), so a DuckDB twin recomputes the same result with
+    list_cosine_similarity + window ranks.  Recall vs brute force is
+    additionally pytest-verified; the pruned-scan plan is the 100TB shape."""
     from biobloom_spark.operators.similarity import (
         deterministic_centroids,
         ivf_assign,
@@ -298,7 +321,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    cents = deterministic_centroids(embs, 16)
+    cents = deterministic_centroids(embs, 16, order="md5")
     assigned = ivf_assign(embs, cents)
     qrows = embs.filter(F.col("vec_id") < 5).collect()
     queries_list = [(int(r["vec_id"]), r["embedding"]) for r in qrows]
@@ -402,6 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "dedup_clusters": q_dedup_clusters,
         "simhash_dups": q_simhash_dups,
+        "stratified_sample": q_stratified_sample,
         "token_stats_by_lang": q_token_stats_by_lang,
         "domain_stats": q_domain_stats,
         "sketch_error_bounds": q_sketch_error_bounds,
@@ -546,6 +570,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.id = id_b
             WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
         """,
+        "stratified_sample": """
+            WITH ranked AS (
+              SELECT doc_id, lang,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                                 doc_id) AS sample_rank
+              FROM documents
+            )
+            SELECT doc_id, lang, CAST(sample_rank AS INT) AS sample_rank
+            FROM ranked WHERE sample_rank <= 20
+        """,
         "token_stats_by_lang": f"""
             SELECT lang,
                    CAST(SUM(len({_TOKS})) AS BIGINT) AS ws_tokens,
@@ -611,6 +646,98 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extract_text_hashes": """
             SELECT doc_id, md5(text) AS text_md5 FROM documents
+        """,
+        # md5-simhash twin, pack-free: recompute each doc's 64 majority
+        # bits from the md5 hex nibbles (bit j = bit j%4 of hex digit
+        # 16 - j//4, i.e. big-endian uint64 of the first 16 hex chars),
+        # then Hamming distance = count of per-bit disagreements — no
+        # 64-bit packing, so no overflow-checked shifts.  Docs with zero
+        # frames have all-zero bits (engine: simhash = 0).  Exact because
+        # pigeonhole blocking (16 blocks > 12 max Hamming) is lossless.
+        "simhash_dups": _SHINGLES_CTE
+        + """
+            , fr AS (SELECT doc_id, substr(md5(shingle), 1, 16) AS h FROM sh),
+            bitv AS (
+              SELECT doc_id, g.b,
+                     CASE WHEN ((strpos('0123456789abcdef',
+                                        substr(h, 16 - g.b // 4, 1)) - 1)
+                                >> (g.b % 4)) & 1 = 1
+                          THEN 1 ELSE -1 END AS v
+              FROM fr, UNNEST(generate_series(0, 63)) AS g(b)
+            ),
+            votes AS (SELECT doc_id, b, SUM(v) AS s FROM bitv GROUP BY doc_id, b),
+            allb AS (
+              SELECT d.doc_id, g.b, COALESCE(v.s, 0) > 0 AS bit
+              FROM documents d
+              CROSS JOIN UNNEST(generate_series(0, 63)) AS g(b)
+              LEFT JOIN votes v ON v.doc_id = d.doc_id AND v.b = g.b
+            ),
+            ham AS (
+              SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+                     SUM(CASE WHEN a.bit <> c.bit THEN 1 ELSE 0 END) AS hamming
+              FROM allb a JOIN allb c ON a.b = c.b AND a.doc_id < c.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+            FROM ham WHERE hamming <= 12
+        """,
+        # IVF twin: md5-ordered centroid sample -> nearest-centroid
+        # assignment -> 6 nearest lists per query -> top-5 by rounded
+        # cosine within probed lists; ties everywhere break (sim DESC,
+        # id ASC) exactly as the engine's argmax/stable-argsort/window
+        "ivf_topk": """
+            WITH csel AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+            ),
+            cents AS (
+              SELECT ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+                     cv
+              FROM csel
+            ),
+            q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                  FROM embeddings WHERE vec_id < 5),
+            asim AS (
+              SELECT e.vec_id, c.cid,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) AS s
+              FROM embeddings e CROSS JOIN cents c
+            ),
+            assigned AS (
+              SELECT vec_id, cid AS ivf_list FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY s DESC, cid ASC) AS rn
+                FROM asim
+              ) WHERE rn = 1
+            ),
+            probes AS (
+              SELECT query_id, cid FROM (
+                SELECT q.query_id, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                          ORDER BY list_cosine_similarity(q.qv, c.cv) DESC,
+                                                   c.cid ASC) AS pr
+                FROM q CROSS JOIN cents c
+              ) WHERE pr <= 6
+            ),
+            sims AS (
+              SELECT p.query_id, a.vec_id,
+                     ROUND(list_cosine_similarity(
+                        CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cosine
+              FROM probes p
+              JOIN assigned a ON a.ivf_list = p.cid
+              JOIN embeddings e ON e.vec_id = a.vec_id
+              JOIN q ON q.query_id = p.query_id
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, cosine,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, vec_id ASC) AS rank
+              FROM sims
+            )
+            SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 5
         """,
         "mibf_classify_summary": f"""
             SELECT CASE WHEN len({_TOKS}) >= {SHINGLE_W} THEN lang

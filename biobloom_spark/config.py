@@ -127,6 +127,17 @@ class BuildConfig:
     #: parallel — merge parallelism is filters x S instead of filters.
     #: Power of two.  Raise at larger cluster/filter scale.
     merge_segments: int = 16
+    #: coalesce the input to this many partitions before the partial pass
+    #: (partition strategy only).  The partials exchange ships one
+    #: unique-hash set per map task, and zipfian web corpora overlap
+    #: heavily across tasks — so its volume is ~proportional to the map
+    #: task count, not the data size.  Fewer, bigger map tasks cut the
+    #: merge shuffle (the build's one non-scaling resource at fixed
+    #: hardware, BENCH.md round-4); bound it by memory — each task holds
+    #: its partition's unique hashes at ~8 B each.  ``coalesce`` (no
+    #: shuffle) only ever reduces the partition count; resume partition
+    #: ids stay deterministic for a fixed value.  None = leave input as-is.
+    coalesce_input: int | None = None
     #: write per-bucket lineage rows for resume
     checkpoint: bool = True
 

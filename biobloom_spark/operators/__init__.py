@@ -7,6 +7,7 @@ from .categorizer import (
 )
 from .cluster import connected_components, dedup_clusters
 from .maker import build_filters, load_registry, merge_registries, size_filters
+from .sampling import stratified_sample
 from .scoring import SegmentedBatch, score_batch
 from .sketch_audit import sketch_error_report
 from .skew import (
@@ -29,6 +30,7 @@ __all__ = [
     "load_registry",
     "merge_registries",
     "size_filters",
+    "stratified_sample",
     "SegmentedBatch",
     "score_batch",
     "sketch_error_report",

@@ -31,6 +31,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash_signatures",
+    "simhash_signatures_sql",
     "simhash_near_dups",
     "embedding_near_dups",
 ]
@@ -372,6 +373,55 @@ def simhash_signatures(
     return docs.select(id_col, text_col).mapInPandas(run, schema=schema)
 
 
+def simhash_signatures_sql(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", w: int = 3
+) -> DataFrame:
+    """64-bit simhash per doc over **md5 shingle hashes** — the
+    oracle-checkable exactness anchor for the simhash family.
+
+    Same Charikar sign-sum semantics as ``simhash_signatures`` but the
+    per-frame hash is the first 16 hex chars of ``md5(shingle string)``
+    (big-endian uint64), which a DuckDB twin can recompute exactly; the
+    whole computation is JVM expressions (zero shuffle, zero Python).
+    Higher-order ``aggregate`` runs interpreted (no codegen), so the
+    vectorized FNV ``simhash_signatures`` stays the production hot path;
+    this variant exists so the gate's near-dup query is hash-checkable
+    end to end (candidate recall from pigeonhole blocking is lossless, so
+    the *output* is deterministic given the hash function).
+    """
+    from ..sources.tables import tokens_col
+
+    d = docs.withColumn("__toks", tokens_col(text_col))
+    n_frames = F.greatest(F.lit(0), F.size("__toks") - F.lit(w - 1))
+    idx = F.when(n_frames > 0, F.sequence(F.lit(1), n_frames)).otherwise(
+        F.array().cast("array<int>")
+    )
+    h16 = F.transform(
+        idx, lambda i: F.substring(F.md5(F.concat_ws(" ", F.slice("__toks", i, w))), 1, 16)
+    )
+    # hex -> uint64 in two 32-bit halves (conv of 8 hex chars fits a signed
+    # long even under ANSI); the high half may set the sign bit via
+    # shiftleft, which wraps Java-style — exactly the packing the DuckDB
+    # twin reproduces bit-by-bit
+    packed = (
+        "transform(__h16s, h -> shiftleft(cast(conv(substring(h, 1, 8), 16, 10) AS bigint), 32)"
+        " | cast(conv(substring(h, 9, 8), 16, 10) AS bigint))"
+    )
+    # per-bit vote: majority of frames with bit b set -> bit b of simhash;
+    # 2*ones_b > n_frames  <=>  sum(+1/-1 votes) > 0.  No frames -> 0.
+    sim = (
+        "aggregate(sequence(0, 63), cast(0 AS bigint), (acc, b) -> acc | IF("
+        " 2 * aggregate(__packed, cast(0 AS bigint),"
+        "              (a, x) -> a + (shiftrightunsigned(x, b) & 1))"
+        " > size(__packed), shiftleft(cast(1 AS bigint), b), cast(0 AS bigint)))"
+    )
+    return (
+        d.withColumn("__h16s", h16)
+        .withColumn("__packed", F.expr(packed))
+        .select(id_col, F.expr(sim).alias("simhash"))
+    )
+
+
 def simhash_near_dups(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -379,6 +429,7 @@ def simhash_near_dups(
     w: int = 3,
     max_hamming: int = 3,
     blocks: int = 4,
+    hash_fn: str = "fnv",
 ) -> DataFrame:
     """SimHash near-dups within Hamming distance ``max_hamming``.
 
@@ -386,12 +437,22 @@ def simhash_near_dups(
     any pair within distance < blocks shares at least one identical block →
     candidates from equi-join per block, verified by popcount(xor) —
     the standard scalable Hamming join (no cross product).
+
+    ``hash_fn``: 'fnv' (default, vectorized production path) or 'md5'
+    (``simhash_signatures_sql`` — exactly recomputable by a SQL twin, so
+    the output pair set is oracle-checkable; blocking is lossless either
+    way).
     """
     if blocks <= max_hamming:
         raise ValueError("need blocks > max_hamming for pigeonhole recall")
+    if hash_fn == "md5":
+        sig_df = simhash_signatures_sql(docs, id_col, text_col, w)
+    elif hash_fn == "fnv":
+        sig_df = simhash_signatures(docs, id_col, text_col, w)
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r} (expected 'fnv' or 'md5')")
     sigs = docs.select(F.col(id_col).alias("id")).join(
-        simhash_signatures(docs, id_col, text_col, w).withColumnRenamed(id_col, "id"),
-        on="id",
+        sig_df.withColumnRenamed(id_col, "id"), on="id"
     )
     width = 64 // blocks
     blocked = sigs.select(

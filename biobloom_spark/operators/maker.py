@@ -309,6 +309,50 @@ def _seg_slice_bits(n_ins_seg: int, params: BloomParams, h: int, bb: int, S: int
     return min(optimal_size_bits(n_ins_seg, params.fpr, h), cap)
 
 
+_U48 = np.uint64(1) << np.uint64(48)
+
+
+def _pack_slice_hashes(u: np.ndarray, base) -> bytes:
+    """Sorted unique uint64 slice hashes → ``b"Q"`` 6-byte-delta blob.
+
+    The partials shuffle is the build's one non-scaling resource at fixed
+    hardware (BENCH.md round-4 stage decomposition: ~14 s of the 2M-page
+    build is core-count-independent byte movement), so spend (scaling) CPU
+    to shrink it: deltas of segment-local sorted hashes fit 48 bits
+    whenever the slice is reasonably populated (mean delta ≈ 2^58/n), and
+    6/8 encoding cuts the exchange 25%.  Sparse slices whose deltas
+    overflow 48 bits fall back to the raw ``b"R"`` layout (they are small
+    by construction).  Little-endian layout (asserted by the roundtrip
+    test); ``base`` = the segment's hash-prefix floor, so the first delta
+    is segment-relative."""
+    if u.size == 0:
+        return b"R"
+    d = np.empty(u.size, dtype=np.uint64)
+    d[0] = u[0] - np.uint64(base)
+    np.subtract(u[1:], u[:-1], out=d[1:])
+    if int(d.max()) >= int(_U48):
+        return b"R" + u.tobytes()
+    six = np.ascontiguousarray(d.astype("<u8")).view(np.uint8).reshape(-1, 8)[:, :6]
+    return b"Q" + six.tobytes()
+
+
+def _unpack_slice_hashes(payload: bytes, base) -> np.ndarray:
+    """Inverse of ``_pack_slice_hashes`` (also accepts legacy raw ``b"R"``
+    rows, e.g. a resume checkpoint written by an older build)."""
+    tag, body = payload[:1], payload[1:]
+    if tag == b"R":
+        return np.frombuffer(body, dtype=np.uint64)
+    if tag != b"Q":
+        raise ValueError(f"unknown slice-hash tag {tag!r}")
+    six = np.frombuffer(body, dtype=np.uint8).reshape(-1, 6)
+    d = np.zeros((six.shape[0], 8), dtype=np.uint8)
+    d[:, :6] = six
+    vals = d.reshape(-1).view("<u8").astype(np.uint64)
+    np.cumsum(vals, out=vals)
+    vals += np.uint64(base)
+    return vals
+
+
 def _build_partition_fn(params: BloomParams, build: BuildConfig, text_col: str,
                         key_col: str, subtract_bits: bytes | None,
                         subtract_meta: tuple | None):
@@ -406,9 +450,11 @@ def _build_partition_fn(params: BloomParams, build: BuildConfig, text_col: str,
                 lo, hi = int(bounds[s]), int(bounds[s + 1])
                 if hi == lo and counts[s] == 0:
                     continue
+                seg_base = (np.uint64(s) << shift) if k else np.uint64(0)
                 rows.append((
                     fid, bucket, s, 0, int(counts[s]), 0, 0,
-                    b"R" + uniq[lo:hi].tobytes(), None, None, None, None,
+                    _pack_slice_hashes(uniq[lo:hi], seg_base),
+                    None, None, None, None,
                 ))
             rows.append((
                 fid, bucket, -1, n_docs[fid], int(counts.sum()), 0, 0, b"C",
@@ -460,8 +506,9 @@ def _seg_reduce_fn(params: BloomParams, build: BuildConfig, pinned: dict | None,
                 columns=_PARTIAL_COLS,
             )
         n_ins_seg = int(pdf["n_inserted"].sum())
+        seg_base = (np.uint64(seg) << np.uint64(64 - k)) if k else np.uint64(0)
         parts = [
-            np.frombuffer(bytes(p)[1:], dtype=np.uint64) for p in pdf["bitmap"]
+            _unpack_slice_hashes(bytes(p), seg_base) for p in pdf["bitmap"]
         ]
         uniq = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
         if pinned is not None:
@@ -791,6 +838,8 @@ def build_filters(
             F.col(key_col).cast("string").alias("filter_id"),
             F.col(text_col).alias(text_col),
         )
+        if build.coalesce_input:
+            base = base.coalesce(build.coalesce_input)
         todo = base
         if resume:
             done_buckets = [

@@ -96,15 +96,29 @@ def brute_force_topk(
 
 
 def deterministic_centroids(
-    corpus: DataFrame, n_centroids: int, id_col: str = "vec_id", vec_col: str = "embedding"
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    order: str = "xxhash64",
 ) -> np.ndarray:
     """Fixed, data-dependent centroids without an iterative fit: the
     ``n_centroids`` vectors whose ids hash lowest (a uniform sample that is
     stable across partitionings — resume/retry safe).  One cheap pass;
-    k-means refinement is an offline nicety, not a correctness need."""
+    k-means refinement is an offline nicety, not a correctness need.
+
+    ``order``: 'xxhash64' (default) or 'md5' — md5 of the stringified id
+    has an exact DuckDB twin, making an IVF result oracle-checkable (the
+    selection is equally uniform either way)."""
+    if order == "xxhash64":
+        key = F.xxhash64(F.col(id_col).cast("string"))
+    elif order == "md5":
+        key = F.md5(F.col(id_col).cast("string"))
+    else:
+        raise ValueError(f"unknown order {order!r} (expected 'xxhash64' or 'md5')")
     rows = (
         corpus.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col).cast("string")))
+        .orderBy(key, F.col(id_col))
         .limit(n_centroids)
         .collect()
     )
@@ -154,7 +168,9 @@ def ivf_topk(
     ensure_workers(spark)
     qids = [q[0] for q in queries]
     qmat = _normalize(np.stack([np.asarray(q[1], dtype=np.float64) for q in queries]))
-    probe = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    # stable sort: probe-list ties (exactly equal sims) break by centroid
+    # index ascending, matching the SQL twin's (sim DESC, cid ASC) ordering
+    probe = np.argsort(-(qmat @ centroids.T), axis=1, kind="stable")[:, :nprobe]  # (nq, nprobe)
     wanted_lists = sorted({int(x) for x in probe.ravel()})
     # per-list query membership, broadcast with the query matrix
     bc = spark.sparkContext.broadcast((qids, qmat, {l: np.flatnonzero((probe == l).any(axis=1)) for l in wanted_lists}))

@@ -10,6 +10,7 @@ per session; every public job entry point calls it.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 import zipfile
@@ -30,19 +31,32 @@ def ensure_workers(spark: SparkSession) -> None:
         # rides with the job, nothing to ship
         _SHIPPED.add(app_id)
         return
+    # content-addressed zip: a pid-keyed name shipped STALE code when the
+    # OS recycled a pid whose /tmp zip survived (observed: a worker
+    # AttributeError on a function added after that zip was built).  The
+    # source hash makes reuse correct by construction.
+    entries = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for f in sorted(files):
+            if f.endswith((".py",)):
+                full = os.path.join(root, f)
+                entries.append(
+                    (full, os.path.join("biobloom_spark", os.path.relpath(full, pkg_dir)))
+                )
+    digest = hashlib.sha256()
+    for full, rel in sorted(entries, key=lambda e: e[1]):
+        digest.update(rel.encode())
+        with open(full, "rb") as fh:
+            digest.update(fh.read())
     zip_path = os.path.join(
-        tempfile.gettempdir(), f"biobloom_spark_{os.getpid()}.zip"
+        tempfile.gettempdir(), f"biobloom_spark_{digest.hexdigest()[:16]}.zip"
     )
     if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_STORED) as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for f in files:
-                    if f.endswith((".py",)):
-                        full = os.path.join(root, f)
-                        rel = os.path.join(
-                            "biobloom_spark", os.path.relpath(full, pkg_dir)
-                        )
-                        zf.write(full, rel)
+        tmp = zip_path + f".tmp{os.getpid()}"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_STORED) as zf:
+            for full, rel in sorted(entries, key=lambda e: e[1]):
+                zf.write(full, rel)
+        os.replace(tmp, zip_path)
     spark.sparkContext.addPyFile(zip_path)
     _SHIPPED.add(app_id)
 
@@ -67,6 +81,13 @@ def get_spark(
         os.environ.setdefault(var, "2147483647")
 
     n = cores if isinstance(cores, str) else str(cores)
+    # spark.local.dir stays on the (page-cache-buffered) disk path: an A/B
+    # with tmpfs (/dev/shm) measured the 2M-page build 70% SLOWER (35.8 s vs
+    # 21.0 s at 8c, BENCH.md round-4) — tmpfs writes fault fresh RAM pages
+    # synchronously at this VM's ~150 MB/s first-touch rate, while disk
+    # writes ride already-mapped page cache with async writeback.  On a real
+    # cluster point SPARK_LOCAL_DIRS at per-node NVMe as usual.
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
     builder = (
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)
@@ -84,6 +105,8 @@ def get_spark(
         .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "2147483647")
         .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "2147483647")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

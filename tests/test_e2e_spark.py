@@ -491,3 +491,46 @@ class TestFusedSummary:
             ).collect()
         }
         assert direct == capped
+
+
+class TestSliceHashPacking:
+    def test_roundtrip_and_fallback(self):
+        from biobloom_spark.operators.maker import (
+            _pack_slice_hashes,
+            _unpack_slice_hashes,
+        )
+
+        rng = np.random.default_rng(5)
+        base = np.uint64(3) << np.uint64(58)
+        # dense slice: deltas fit 48 bits -> "Q" 6-byte layout, 25% smaller
+        u = np.unique(
+            base + rng.integers(0, 1 << 58, size=200_000, dtype=np.uint64)
+        ).astype(np.uint64)
+        blob = _pack_slice_hashes(u, base)
+        assert blob[:1] == b"Q"
+        assert len(blob) == 1 + 6 * u.size
+        out = _unpack_slice_hashes(blob, base)
+        assert out.dtype == np.uint64 and np.array_equal(out, u)
+        # sparse slice: a >=2^48 delta forces the raw fallback
+        v = np.asarray([base, base + (np.uint64(1) << np.uint64(49))], dtype=np.uint64)
+        blob2 = _pack_slice_hashes(v, base)
+        assert blob2[:1] == b"R"
+        assert np.array_equal(_unpack_slice_hashes(blob2, base), v)
+        # empty
+        assert _unpack_slice_hashes(_pack_slice_hashes(np.empty(0, np.uint64), 0), 0).size == 0
+
+    def test_build_invariant_under_coalesce(self, spark, corpus):
+        """coalesce_input changes only the exchange volume, never the
+        result: byte-identical bitmaps with and without it."""
+        maps = []
+        for b in (
+            BuildConfig(strategy="partition"),
+            BuildConfig(strategy="partition", coalesce_input=2),
+        ):
+            reg = load_registry(
+                build_filters(spark, corpus, id_col="url", build=b, keys=["en", "de"])
+            )
+            maps.append({f["filter_id"]: f["bitmap"] for f in reg})
+        assert maps[0].keys() == maps[1].keys()
+        for k in maps[0]:
+            assert maps[0][k] == maps[1][k], f"bitmap differs for {k}"

@@ -129,6 +129,62 @@ class TestDedup:
         got = {(r["id_a"], r["id_b"]) for r in dups}
         assert (0, 60) in got and (1, 61) in got
 
+    def test_simhash_md5_signatures_match_reference_recompute(self, spark, dup_docs):
+        """The JVM-expression md5 simhash (the oracle-checkable variant)
+        equals an independent hashlib recompute of the Charikar sign-sum
+        over md5 shingle hashes, bit for bit."""
+        import hashlib
+
+        from biobloom_spark.operators.dedup import simhash_signatures_sql
+
+        def ref(text: str, w: int = 3) -> int:
+            toks = text.split()
+            votes = [0] * 64
+            n = 0
+            for i in range(len(toks) - w + 1):
+                h = int(
+                    hashlib.md5(" ".join(toks[i : i + w]).encode()).hexdigest()[:16], 16
+                )
+                for b in range(64):
+                    votes[b] += 1 if (h >> b) & 1 else -1
+                n += 1
+            if n == 0:
+                return 0
+            return sum(1 << b for b in range(64) if votes[b] > 0)
+
+        sigs = {
+            r["doc_id"]: r["simhash"] & 0xFFFFFFFFFFFFFFFF
+            for r in simhash_signatures_sql(dup_docs).collect()
+        }
+        texts = {r["doc_id"]: r["text"] for r in dup_docs.collect()}
+        assert len(sigs) == len(texts)
+        for did, t in texts.items():
+            assert sigs[did] == ref(t), did
+
+    def test_simhash_md5_near_dups_equal_brute_force(self, spark, dup_docs):
+        """Pigeonhole blocking is lossless: the md5-variant bucket-join
+        output equals the all-pairs Hamming-<=d set."""
+        from biobloom_spark.operators.dedup import simhash_signatures_sql
+
+        sigs = {
+            r["doc_id"]: r["simhash"] & 0xFFFFFFFFFFFFFFFF
+            for r in simhash_signatures_sql(dup_docs).collect()
+        }
+        ids = sorted(sigs)
+        want = set()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                h = bin(sigs[a] ^ sigs[b]).count("1")
+                if h <= 12:
+                    want.add((a, b, h))
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_near_dups(
+                dup_docs, max_hamming=12, blocks=16, hash_fn="md5"
+            ).collect()
+        }
+        assert got == want
+
     def test_embedding_near_dups(self, spark, sf_dir):
         embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         # plant a duplicate vector
@@ -216,6 +272,23 @@ class TestSimilarity:
             hits += r["vec_id"] in exact_sets[r["query_id"]]
         assert total > 0
         assert hits / (5 * len(queries)) >= 0.5  # nprobe=6/16 lists
+
+    def test_deterministic_centroids_md5_order(self, spark, embs):
+        """order='md5' picks the n vectors with lexicographically smallest
+        md5(str(vec_id)) — the DuckDB-twin-reproducible selection."""
+        import hashlib
+
+        cents = deterministic_centroids(embs, 8, order="md5")
+        pdf = embs.toPandas()
+        ranked = sorted(
+            pdf["vec_id"].tolist(),
+            key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v),
+        )[:8]
+        by_id = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64) for r in pdf.itertuples()}
+        for i, vid in enumerate(ranked):
+            v = by_id[vid]
+            v = v / np.linalg.norm(v)
+            assert np.allclose(cents[i], v, atol=1e-12), vid
 
 
 class TestTextStats:

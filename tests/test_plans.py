@@ -170,3 +170,14 @@ def test_connected_components_rounds_are_bucket_joins(spark):
     # 2 aggregations + 2 joins worth of exchanges, but never corpus-scale:
     # a blown-up plan here multiplies per ROUND, so pin an upper bound
     assert count_exchanges(round1) <= 8, count_exchanges(round1)
+
+
+def test_stratified_sample_uses_window_group_limit(spark, pq_corpus):
+    """The rank-limit filter must compile to WindowGroupLimit (map-side
+    partial top-n before the shuffle) — without it a heavy key ships its
+    full weight to one task and the quota op stops scaling."""
+    from biobloom_spark.operators.sampling import stratified_sample
+    from biobloom_spark.plans import plan_string
+
+    out = stratified_sample(pq_corpus, "lang", 5, id_col="url")
+    assert "WindowGroupLimit" in plan_string(out, "simple")

@@ -158,3 +158,58 @@ class TestUrlDomain:
         docs = generate_corpus(spark, n_docs=200, seed=11)
         doms = docs.select(url_domain_col("url").alias("d")).distinct().collect()
         assert all(r["d"].startswith("site") and r["d"].endswith(".example") for r in doms)
+
+
+class TestStratifiedSample:
+    def test_quota_and_determinism(self, spark, zipf_docs):
+        from biobloom_spark.operators.sampling import stratified_sample
+
+        out = stratified_sample(zipf_docs, "domain", 5, id_col="doc_id")
+        rows = out.collect()
+        import collections
+
+        per = collections.Counter(r["domain"] for r in rows)
+        assert max(per.values()) <= 5
+        # light keys (< 5 rows) keep everything
+        truth = collections.Counter(r["domain"] for r in zipf_docs.collect())
+        for k, n in truth.items():
+            assert per[k] == min(n, 5), k
+        # reproducible across partitionings
+        again = stratified_sample(zipf_docs.repartition(13), "domain", 5).collect()
+        assert {(r["doc_id"], r["sample_rank"]) for r in rows} == {
+            (r["doc_id"], r["sample_rank"]) for r in again
+        }
+
+    def test_md5_draw_matches_python(self, spark, zipf_docs):
+        import hashlib
+
+        from biobloom_spark.operators.sampling import stratified_sample
+
+        out = stratified_sample(zipf_docs, "domain", 3).collect()
+        all_rows = zipf_docs.collect()
+        by_dom: dict = {}
+        for r in all_rows:
+            by_dom.setdefault(r["domain"], []).append(r["doc_id"])
+        want = set()
+        for dom, ids in by_dom.items():
+            ranked = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+            for rk, i in enumerate(ranked[:3], start=1):
+                want.add((dom, i, rk))
+        got = {(r["domain"], r["doc_id"], r["sample_rank"]) for r in out}
+        assert got == want
+
+    def test_best_first_order(self, spark):
+        from pyspark.sql import functions as F
+
+        from biobloom_spark.operators.sampling import stratified_sample
+
+        df = spark.createDataFrame(
+            [(i, "k", float(i % 10)) for i in range(30)],
+            "doc_id: long, key: string, quality: double",
+        )
+        out = stratified_sample(
+            df, "key", 4, order_by=F.col("quality").desc()
+        ).collect()
+        assert sorted(r["quality"] for r in out) == [8.0, 9.0, 9.0, 9.0]
+        # ties broke by doc_id asc: the three 9.0 docs are 9, 19, 29 then 8
+        assert sorted(r["doc_id"] for r in out) == [8, 9, 19, 29]

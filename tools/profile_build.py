@@ -42,7 +42,7 @@ def main() -> None:
     docs = spark.read.parquet(CORPUS_PATH).cache()
     n = docs.count()
     params = BloomParams()
-    build = BuildConfig(num_buckets=64, merge_groups=8)
+    build = BuildConfig(num_buckets=64, merge_groups=8, coalesce_input=8)
 
     # warm: small build exercises codegen + python workers
     build_filters(
@@ -62,7 +62,7 @@ def main() -> None:
 
     base = docs.filter(F.col("lang").isNotNull() & F.col("text").isNotNull()).select(
         F.col("lang").cast("string").alias("filter_id"), F.col("text")
-    )
+    ).coalesce(8)
     part_fn = _build_partition_fn(params, build, "text", "filter_id", None, None)
 
     t0 = time.perf_counter()

@@ -114,7 +114,7 @@ def run_one(cores: int, reps: int) -> dict:
     # work); it doubles as the registry for the categorize phase
     reg = build_filters(
         spark, docs, key_col="lang", text_col="text", id_col="url",
-        build=BuildConfig(num_buckets=64, merge_groups=8),
+        build=BuildConfig(num_buckets=64, merge_groups=8, coalesce_input=8),
     )
     filters = load_registry(reg)
     # untimed categorize warm pass too: rep 0 otherwise pays the broadcast
@@ -134,7 +134,7 @@ def run_one(cores: int, reps: int) -> dict:
         # rep could silently reuse (logical-plan cache matching)
         build_filters(
             spark, docs, key_col="lang", text_col="text", id_col="url",
-            build=BuildConfig(num_buckets=64, merge_groups=8),
+            build=BuildConfig(num_buckets=64, merge_groups=8, coalesce_input=8),
         ).write.format("noop").mode("overwrite").save()
 
     build_s = sample(do_build)
