@@ -843,6 +843,29 @@ def _classify_mibf_sharded(
     return agg.mapInPandas(combine, schema=out_schema)
 
 
+def _sketch_broadcast(spark: SparkSession, sketch: MIBFSketch):
+    """Session-scoped broadcast of the sketch payload, cached on the
+    sketch object.
+
+    A fresh broadcast per classify call makes every worker re-fetch and
+    first-touch the full uint16 id array on every call — at this VM's
+    ~150 MB/s fault rate that is seconds per worker per call, and it grows
+    with the worker count (an anti-scaling term measured in the round-4
+    miBF scaling runs).  Real deployments classify many batches against
+    one sketch; one broadcast per (sketch, Spark app) is the correct
+    amortization.  The cache dies with the sketch object or the app."""
+    app = spark.sparkContext.applicationId
+    cached = getattr(sketch, "_bc_cache", None)
+    if cached is not None and cached[0] == app:
+        return cached[1]
+    payload = sketch.serialize()
+    meta = (sketch.m_slots, sketch.num_hashes, sketch.shingle_w, sketch.labels,
+            sketch.hash_family, sketch.canonical)
+    bc = spark.sparkContext.broadcast((payload, meta, sketch.seeds))
+    sketch._bc_cache = (app, bc)
+    return bc
+
+
 def classify_mibf(
     spark: SparkSession,
     docs: DataFrame,
@@ -882,11 +905,7 @@ def classify_mibf(
             lambda s, lo, hi: ids[lo:hi].tobytes(),
             n_seg, per_frame_prob, alpha_adj, multi_thresh, id_col, [text_col],
         )
-    payload = sketch.serialize()
-    meta = (sketch.m_slots, sketch.num_hashes, sketch.shingle_w, sketch.labels,
-            sketch.hash_family, sketch.canonical)
-    seeds = sketch.seeds
-    bc = spark.sparkContext.broadcast((payload, meta, seeds))
+    bc = _sketch_broadcast(spark, sketch)
     id_field = docs.schema[id_col]
     schema = T.StructType(
         [
@@ -961,11 +980,7 @@ def classify_mibf_pairs(
             n_seg, per_frame_prob, alpha_adj, multi_thresh, id_col,
             [text1_col, text2_col],
         )
-    payload = sketch.serialize()
-    meta = (sketch.m_slots, sketch.num_hashes, sketch.shingle_w, sketch.labels,
-            sketch.hash_family, sketch.canonical)
-    seeds = sketch.seeds
-    bc = spark.sparkContext.broadcast((payload, meta, seeds))
+    bc = _sketch_broadcast(spark, sketch)
     id_field = docs.schema[id_col]
     schema = T.StructType(
         [
