@@ -154,6 +154,15 @@ def claim_ties(slots: np.ndarray, label_idx: int) -> np.ndarray:
     return (r & _TIE_RAND_MASK) | _U64(label_idx)
 
 
+def _recompute_ties(slots: np.ndarray, labels: np.ndarray) -> np.ndarray:
+    """Elementwise ``claim_ties`` for mixed labels — the tie is a pure
+    function of (slot, label), which is what lets the claims wire format
+    drop the 8-byte tie column entirely."""
+    lab64 = labels.astype(np.uint64)
+    r = splitmix64(slots.astype(np.uint64) ^ splitmix64(lab64))
+    return (r & _TIE_RAND_MASK) | lab64
+
+
 @dataclass
 class MIBFClaims:
     """Sparse, mergeable ownership-claim set: the build-partial state.
@@ -208,13 +217,57 @@ class MIBFClaims:
         return (self.ties & _TIE_LABEL_MASK).astype(np.uint16)
 
     def serialize(self) -> bytes:
-        # raw bytes: claim blobs only live inside one shuffle, and Spark
-        # compresses shuffle blocks itself (lz4) — zlib here double-paid
-        # ~1 s/partition on the build's hottest path
-        return self.slots.tobytes() + self.ties.tobytes()
+        """8 bytes per claim, not 16: the tiebreak is a pure function of
+        (slot, label) — ``claim_ties`` derives it with splitmix64 — so the
+        wire format carries only sorted slots (6-byte deltas, first value
+        full-width) plus uint16 labels, and the receiver recomputes ties
+        bit-identically.  The claims exchange is the miBF build's dominant
+        byte mover (BENCH.md round-4: multi-GB at 1.2M pages through the
+        one non-core-scaling path), so this halves it for vectorized
+        (scaling) CPU.  Deltas that overflow 48 bits (tiny claim sets over
+        a huge slot space) fall back to raw 8-byte slots, tag ``b"U"``.
+        Blobs live only inside one job's shuffle — no cross-version
+        persistence.  No zlib: uniform hash-derived bytes are
+        incompressible and Spark lz4-frames shuffle blocks anyway."""
+        labels = (self.ties & _TIE_LABEL_MASK).astype(np.uint16)
+        n = self.slots.size
+        if n == 0:
+            return b"U"
+        d = np.empty(n, dtype=np.uint64)
+        d[0] = 0
+        np.subtract(self.slots[1:], self.slots[:-1], out=d[1:].view(np.int64))
+        if n > 1 and int(d[1:].max()) >= 1 << 48:
+            return b"U" + self.slots.tobytes() + labels.tobytes()
+        six = np.ascontiguousarray(d.astype("<u8")).view(np.uint8).reshape(-1, 8)[:, :6]
+        return (
+            b"T"
+            + int(self.slots[0]).to_bytes(8, "little")
+            + six[1:].tobytes()
+            + labels.tobytes()
+        )
 
     @classmethod
     def deserialize(cls, payload: bytes) -> "MIBFClaims":
+        tag, body = payload[:1], payload[1:]
+        if tag == b"T":
+            first = int.from_bytes(body[:8], "little")
+            rest = body[8:]
+            n_lab = (len(rest) + 6) // 8  # 6(n-1) + 2n = 8n - 6
+            six_len = 6 * (n_lab - 1)
+            six = np.frombuffer(rest[:six_len], dtype=np.uint8).reshape(-1, 6)
+            d = np.zeros((n_lab, 8), dtype=np.uint8)
+            d[1:, :6] = six
+            deltas = d.reshape(-1).view("<u8").astype(np.uint64)
+            deltas[0] = np.uint64(first)
+            slots = np.cumsum(deltas, dtype=np.uint64).astype(np.int64)
+            labels = np.frombuffer(rest[six_len:], dtype=np.uint16)
+            return cls(slots, _recompute_ties(slots, labels))
+        if tag == b"U":
+            n = len(body) // 10  # 8B slot + 2B label
+            slots = np.frombuffer(body[: 8 * n], dtype=np.int64)
+            labels = np.frombuffer(body[8 * n :], dtype=np.uint16)
+            return cls(slots.copy(), _recompute_ties(slots, labels))
+        # legacy layout (no tag): slots int64 + ties uint64, equal halves
         half = len(payload) // 2
         return cls(
             np.frombuffer(payload[:half], dtype=np.int64).copy(),

@@ -664,3 +664,43 @@ class TestStore:
             resume=True, snapshot_id="snap-b",
         )
         assert store2.to_sketch(spark).serialize() == reference.serialize()
+
+
+class TestClaimsWireFormat:
+    def test_roundtrip_packed_sparse_empty_single(self):
+        """8-byte/claim wire format: ties are derived from (slot, label),
+        slots ride as 6-byte deltas; sparse slot spaces fall back to raw."""
+        import numpy as np
+
+        from biobloom_spark.sketch.mibf import (
+            MIBFClaims,
+            _recompute_ties,
+            claim_ties,
+        )
+
+        rng = np.random.default_rng(3)
+        slots = np.unique(rng.integers(0, 1 << 30, size=100_000, dtype=np.int64))
+        labels = rng.integers(1, 100, size=slots.size).astype(np.uint16)
+        c = MIBFClaims(slots, _recompute_ties(slots, labels))
+        blob = c.serialize()
+        assert blob[:1] == b"T"
+        assert len(blob) <= 8 * slots.size + 16
+        d = MIBFClaims.deserialize(blob)
+        assert np.array_equal(d.slots, c.slots) and np.array_equal(d.ties, c.ties)
+        # elementwise tie recompute == per-label claim_ties
+        assert np.array_equal(
+            claim_ties(slots[:64], 7),
+            _recompute_ties(slots[:64], np.full(64, 7, dtype=np.uint16)),
+        )
+        # >=2^48 delta -> raw fallback, still exact
+        s2 = np.asarray([5, 5 + (1 << 49)], dtype=np.int64)
+        c2 = MIBFClaims(s2, _recompute_ties(s2, np.asarray([1, 2], dtype=np.uint16)))
+        assert c2.serialize()[:1] == b"U"
+        d2 = MIBFClaims.deserialize(c2.serialize())
+        assert np.array_equal(d2.slots, c2.slots) and np.array_equal(d2.ties, c2.ties)
+        # empty + single
+        assert MIBFClaims.deserialize(MIBFClaims().serialize()).slots.size == 0
+        s3 = np.asarray([123456789], dtype=np.int64)
+        c3 = MIBFClaims(s3, _recompute_ties(s3, np.asarray([42], dtype=np.uint16)))
+        d3 = MIBFClaims.deserialize(c3.serialize())
+        assert np.array_equal(d3.slots, c3.slots) and np.array_equal(d3.ties, c3.ties)
