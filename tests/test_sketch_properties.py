@@ -177,3 +177,74 @@ class TestSerializationRoundtrip:
         assert k2.quantile(0.5) == kll.quantile(0.5)
         t2 = TDigestSketch.deserialize(td.serialize())
         assert t2.quantile(0.5) == pytest.approx(td.quantile(0.5))
+
+
+class TestWireFormatProperties:
+    """Property roundtrips for the two round-4 shuffle wire formats: the
+    6-byte-delta slice-hash pack (build partials) and the 8-byte/claim
+    miBF claims pack.  Arbitrary sorted-unique inputs, any density —
+    including the fallback boundary at 48-bit deltas."""
+
+    @given(
+        seed=st.integers(0, 2**31),
+        n=st.integers(0, 5000),
+        span_bits=st.integers(8, 58),
+        seg=st.integers(0, 63),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_slice_hash_pack_roundtrip(self, seed, n, span_bits, seg):
+        from biobloom_spark.operators.maker import (
+            _pack_slice_hashes,
+            _unpack_slice_hashes,
+        )
+
+        base = np.uint64(seg) << np.uint64(58)
+        rng = np.random.default_rng(seed)
+        u = np.unique(
+            base + rng.integers(0, 1 << span_bits, size=n, dtype=np.uint64)
+        ).astype(np.uint64)
+        blob = _pack_slice_hashes(u, base)
+        assert blob[:1] in (b"Q", b"R")
+        out = _unpack_slice_hashes(blob, base)
+        assert out.dtype == np.uint64
+        assert np.array_equal(out, u)
+
+    @given(
+        seed=st.integers(0, 2**31),
+        n=st.integers(0, 5000),
+        span_bits=st.integers(4, 62),
+        n_labels=st.integers(1, 200),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_claims_pack_roundtrip(self, seed, n, span_bits, n_labels):
+        from biobloom_spark.sketch.mibf import MIBFClaims, _recompute_ties
+
+        rng = np.random.default_rng(seed)
+        slots = np.unique(
+            rng.integers(0, 1 << span_bits, size=n, dtype=np.int64)
+        )
+        labels = rng.integers(1, n_labels + 1, size=slots.size).astype(np.uint16)
+        c = MIBFClaims(slots, _recompute_ties(slots, labels))
+        d = MIBFClaims.deserialize(c.serialize())
+        assert np.array_equal(d.slots, c.slots)
+        assert np.array_equal(d.ties, c.ties)
+
+    @given(seed=st.integers(0, 2**31), n=st.integers(1, 2000), parts=st.integers(1, 8))
+    @settings(max_examples=25, deadline=None)
+    def test_claims_merge_invariant_under_wire_roundtrip(self, seed, n, parts):
+        """merge_all(serialize∘deserialize(parts)) == merge_all(parts):
+        the wire format must never change ownership resolution."""
+        from biobloom_spark.sketch.mibf import MIBFClaims, _recompute_ties
+
+        rng = np.random.default_rng(seed)
+        sets = []
+        for i in range(parts):
+            slots = np.unique(rng.integers(0, 1 << 24, size=n, dtype=np.int64))
+            labels = rng.integers(1, 50, size=slots.size).astype(np.uint16)
+            sets.append(MIBFClaims(slots, _recompute_ties(slots, labels)))
+        direct = MIBFClaims.merge_all(sets)
+        wired = MIBFClaims.merge_all(
+            [MIBFClaims.deserialize(s.serialize()) for s in sets]
+        )
+        assert np.array_equal(direct.slots, wired.slots)
+        assert np.array_equal(direct.ties, wired.ties)
