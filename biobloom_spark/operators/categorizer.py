@@ -17,6 +17,7 @@ documents exactly once and all state is broadcast-sized.
 
 from __future__ import annotations
 
+import warnings
 from typing import Iterator
 
 import numpy as np
@@ -219,14 +220,25 @@ def _plan_passes(filters: list[dict], max_bytes: int) -> list[tuple]:
         b = len(f["bitmap"])
         if b > max_bytes:
             if not _chunkable(f):
-                raise ValueError(
+                # classic-layout (.bf-interop) filter over the budget:
+                # degrade to its own over-budget pass — the soft cap is
+                # merely exceeded for this one broadcast (the pre-chunking
+                # behavior), never a hard failure for a config that used
+                # to run
+                warnings.warn(
                     f"filter {f['filter_id']!r} ({b} B) exceeds the "
                     f"{max_bytes} B broadcast budget and its layout "
                     f"(block_bits={f.get('block_bits', 0)}, "
                     f"hash_family={f.get('hash_family', 'poly')}) cannot "
-                    "shard by word range — rebuild with a blocked layout "
-                    "or raise max_broadcast_bytes"
+                    "shard by word range — broadcasting it whole; rebuild "
+                    "with a blocked layout to bound per-pass memory",
+                    RuntimeWarning,
+                    stacklevel=2,
                 )
+                flush(gi)
+                passes.append(("full", gi, gi + 1))
+                g_lo = gi + 1
+                continue
             flush(gi)
             wpb = f.get("block_bits", 0) // 64  # words per block (1 or 8)
             n_words = f["m_bits"] // 64
@@ -316,6 +328,7 @@ def _categorize_sharded(
     cfg: CategorizerConfig,
     id_col: str,
     text_cols: list[str],
+    pin_source: bool = True,
 ) -> DataFrame:
     """Multi-pass evaluation for registries beyond the broadcast budget.
 
@@ -338,10 +351,14 @@ def _categorize_sharded(
 
     The stitch keys on ``monotonically_increasing_id()`` attached before
     the shard passes, NOT on ``id_col`` — duplicate doc ids must yield one
-    output row per input row (the single-pass contract).  Every pass scans
-    the same projected plan, so the surrogate is stable across passes for
-    deterministic sources (a file scan; the same assumption multi-pass
-    evaluation already makes about the corpus content itself).
+    output row per input row (the single-pass contract).  The projected
+    rows are pinned once (``session.pin_rows`` — eager localCheckpoint) so
+    every pass reads the SAME stored row set: the surrogate stays stable
+    even for non-deterministic sources (``orderBy(rand())``, unseeded
+    ``sample()``), where per-pass re-evaluation would silently stitch
+    partials from different documents together.  ``pin_source=False``
+    re-scans instead — valid only for deterministic sources (see
+    ``pin_rows``); the corpus-scale storage trade is documented there.
 
     ``text_cols``: one column = single-read mode; two = paired mode —
     each mate is scored independently per pass, the stitch reassembles
@@ -352,8 +369,13 @@ def _categorize_sharded(
     nF = len(filters)
     M = len(text_cols)
     id_field = docs.schema[id_col]
-    keyed = docs.select(id_col, *text_cols).withColumn(
-        "__row", F.monotonically_increasing_id()
+    from ..session import pin_rows
+
+    keyed = pin_rows(
+        docs.select(id_col, *text_cols).withColumn(
+            "__row", F.monotonically_increasing_id()
+        ),
+        pin=pin_source,
     )
     tail = []
     for m in range(M):
@@ -543,6 +565,7 @@ def categorize(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_broadcast_bytes: int | None = None,
+    pin_source: bool = True,
 ) -> DataFrame:
     """Score + classify every document against every filter.
 
@@ -559,6 +582,10 @@ def categorize(
     large filter sets (SURVEY §7.4 risk).  A single filter larger than the
     cap is itself split into word-range chunks (blocked layouts only), so
     no filter has to fit in one broadcast.  None = single pass (default).
+
+    ``pin_source`` (sharded mode only): pin the projected corpus once so
+    all passes stitch one consistent row set; set False only for sources
+    that re-evaluate deterministically (see ``session.pin_rows``).
     """
     from ..session import ensure_workers
 
@@ -568,7 +595,8 @@ def categorize(
         passes = _plan_passes(filters, max_broadcast_bytes)
         if len(passes) > 1:
             return _categorize_sharded(
-                spark, docs, filters, passes, cfg, id_col, [text_col]
+                spark, docs, filters, passes, cfg, id_col, [text_col],
+                pin_source=pin_source,
             )
     filter_ids = [f["filter_id"] for f in filters]
     bc = spark.sparkContext.broadcast(filters)
@@ -606,6 +634,7 @@ def categorize_pairs(
     text1_col: str = "text1",
     text2_col: str = "text2",
     max_broadcast_bytes: int | None = None,
+    pin_source: bool = True,
 ) -> DataFrame:
     """Paired classification: both mates scored, hit sets combined.
 
@@ -627,7 +656,7 @@ def categorize_pairs(
         if len(passes) > 1:
             return _categorize_sharded(
                 spark, docs, filters, passes, cfg, id_col,
-                [text1_col, text2_col],
+                [text1_col, text2_col], pin_source=pin_source,
             )
     filter_ids = [f["filter_id"] for f in filters]
     bc = spark.sparkContext.broadcast(filters)

@@ -291,7 +291,11 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(docs, id_col, text_col, w, num_perm)
     if verify:
         # three lazy references below (band join + two signature re-joins):
-        # persist so the Arrow minhash pass runs once, spilling if needed
+        # persist so the Arrow minhash pass runs once, spilling if needed.
+        # Lifetime: the cache lives while the returned (lazy) DataFrame is
+        # reachable — there is no point inside this function after which
+        # it is safe to unpersist; Spark's ContextCleaner reclaims the
+        # blocks once the caller drops the result and the plan is GC'd.
         from pyspark import StorageLevel
 
         sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)

@@ -761,7 +761,8 @@ def build_filters(
     job_id = job_id or uuid.uuid4().hex[:12]
 
     if keys is not None:
-        docs = docs.filter(F.col(key_col).isin(list(keys)))
+        keys = list(keys)
+        docs = docs.filter(F.col(key_col).isin(keys))
     docs = docs.filter(F.col(key_col).isNotNull() & F.col(text_col).isNotNull())
 
     # expected_sizing pins (m, h) externally — the progressive mode re-builds
@@ -818,9 +819,23 @@ def build_filters(
     # mismatch (or unknowable, e.g. in-memory test DataFrames with no files)
     # discard stale partials and rebuild from scratch.
     # ``snapshot_id`` lets callers with a stable non-file input identity
-    # (e.g. an Iceberg snapshot id) opt into resume explicitly
+    # (e.g. an Iceberg snapshot id) opt into resume explicitly.
+    # The fingerprint covers every parameter that shapes partial CONTENT or
+    # partition identity — not just the input listing: resuming with a
+    # different coalesce_input (different partition ids), key/text column,
+    # sizing, subtract filter, or hash family against same-listing partials
+    # would silently drop or mis-hash data (build_mibf_store fingerprints
+    # its params for the same reason).
     snap = snapshot_id or ";".join(sorted(docs.inputFiles()))
-    snap_fp = hashlib.md5(snap.encode()).hexdigest() if snap else None
+    param_fp = repr((
+        key_col, text_col, params, build,
+        sorted(keys) if keys is not None else None,
+        sorted(expected_sizing.items()) if expected_sizing else None,
+        (hashlib.md5(sub_bits).hexdigest(), sub_meta) if sub_bits is not None else None,
+    ))
+    snap_fp = (
+        hashlib.md5((snap + "|" + param_fp).encode()).hexdigest() if snap else None
+    )
     resume = False
     if partials_path and os.path.exists(partials_path):
         resume = snap_fp is not None and _read_snapshot(partials_path) == snap_fp
@@ -954,7 +969,7 @@ def _merge_registry_fn():
         for col in _MERGE_COMPAT_COLS:
             vals = {
                 bytes(v) if isinstance(v, (bytes, bytearray, memoryview)) else v
-                for v in pdf[col].map(lambda x: x if x is not None else None)
+                for v in pdf[col]
             }
             if len(vals) > 1:
                 raise ValueError(

@@ -251,6 +251,7 @@ def build_mibf(
     max_broadcast_bytes: int | None = None,
     canonical: bool = False,
     hash_family: str = "poly",
+    pin_source: bool = True,
 ) -> MIBFSketch:
     """Build one miBF over all values of ``key_col`` (labels).
 
@@ -282,6 +283,10 @@ def build_mibf(
     segment (one segment broadcast per pass, per-probe ownership entries
     stitched by a frame-level OR — ``_saturate_sharded``) instead of
     broadcasting the full resolved sketch.  None = single broadcast.
+
+    ``pin_source`` (sharded saturation only): pin the projected corpus
+    once for the segment passes; set False only for sources that
+    re-evaluate deterministically (see ``session.pin_rows``).
     """
     base, bc_map, labels, seed_arr, h, canonical, m_slots = _prep_build(
         spark, docs, key_col, text_col, shingle_w, num_hashes, occupancy,
@@ -305,7 +310,7 @@ def build_mibf(
     # --- saturation pass (insertSaturation, MIBFGen.hpp:196-223) ----------
     if max_broadcast_bytes is not None and sketch.ids.nbytes > max_broadcast_bytes:
         n_seg = _clamp_segments(-(-sketch.ids.nbytes // max_broadcast_bytes))
-        _saturate_sharded(spark, base, sketch, bc_map, n_seg)
+        _saturate_sharded(spark, base, sketch, bc_map, n_seg, pin_source=pin_source)
         return sketch
     bc_ids = spark.sparkContext.broadcast(sketch.serialize())
 
@@ -368,6 +373,7 @@ def _saturate_sharded(
     sketch: MIBFSketch,
     bc_map,
     n_segments: int,
+    pin_source: bool = True,
 ) -> None:
     """Saturation without a full-array broadcast — the sharded twin of the
     ``sat_pass`` in ``build_mibf`` (insertSaturation, MIBFGen.hpp:196-223).
@@ -378,6 +384,7 @@ def _saturate_sharded(
     sat_slots = _sharded_lost_slots(
         spark, base, _sketch_meta(sketch),
         lambda s, lo, hi: ids[lo:hi].tobytes(), bc_map, bounds,
+        pin_source=pin_source,
     )
     pack_schema = T.StructType([T.StructField("slots", T.BinaryType(), False)])
 
@@ -399,6 +406,7 @@ def _sharded_lost_slots(
     seg_bytes,
     bc_map,
     bounds: np.ndarray,
+    pin_source: bool = True,
 ) -> DataFrame:
     """The distributed lost-element scan shared by the in-memory sharded
     saturation and the store build (insertSaturation, MIBFGen.hpp:196-223).
@@ -416,7 +424,15 @@ def _sharded_lost_slots(
     """
     m_slots, h, w, _labels, seeds, family, canonical = meta
     S = len(bounds) - 1
-    keyed = base.withColumn("__row", F.monotonically_increasing_id())
+    from ..session import pin_rows
+
+    # pin: saturation bits must come from ONE consistent row set across
+    # the S passes even for non-deterministic sources (see session.pin_rows;
+    # pin_source=False = caller asserts a deterministic source, re-scan)
+    keyed = pin_rows(
+        base.withColumn("__row", F.monotonically_increasing_id()),
+        pin=pin_source,
+    )
     entry_schema = T.StructType(
         [
             T.StructField("__row", T.LongType(), False),
@@ -674,6 +690,7 @@ def _classify_mibf_sharded(
     multi_thresh: int,
     id_col: str,
     text_cols: list[str],
+    pin_source: bool = True,
 ) -> DataFrame:
     """Multi-pass miBF classification for id arrays beyond the broadcast
     budget — the MI twin of ``categorizer._categorize_sharded``.
@@ -706,8 +723,16 @@ def _classify_mibf_sharded(
     bounds = _seg_bounds(m_slots, S)
     L = len(labels)
     M = len(text_cols)
-    keyed = docs.select(id_col, *text_cols).withColumn(
-        "__row", F.monotonically_increasing_id()
+    from ..session import pin_rows
+
+    # pin the projected rows so the surrogate key is stable across the S
+    # passes even for non-deterministic sources (see session.pin_rows;
+    # pin_source=False = caller asserts a deterministic source, re-scan)
+    keyed = pin_rows(
+        docs.select(id_col, *text_cols).withColumn(
+            "__row", F.monotonically_increasing_id()
+        ),
+        pin=pin_source,
     )
     id_field = docs.schema[id_col]
     tail = []
@@ -843,9 +868,17 @@ def _classify_mibf_sharded(
     return agg.mapInPandas(combine, schema=out_schema)
 
 
+#: id(sketch) → ((applicationId, content-fp), Broadcast).  Keyed off the
+#: object (module-level, weakref-evicted) rather than stored ON it so a
+#: sketch stays deepcopy- and pickle-able — a Broadcast handle in the
+#: instance __dict__ would crash copy.deepcopy/pickle with
+#: BROADCAST_VARIABLE_NOT_LOADED on the driver.
+_BC_CACHE: dict[int, tuple] = {}
+
+
 def _sketch_broadcast(spark: SparkSession, sketch: MIBFSketch):
-    """Session-scoped broadcast of the sketch payload, cached on the
-    sketch object.
+    """Session-scoped broadcast of the sketch payload, cached per sketch
+    object.
 
     A fresh broadcast per classify call makes every worker re-fetch and
     first-touch the full uint16 id array on every call — at this VM's
@@ -853,16 +886,36 @@ def _sketch_broadcast(spark: SparkSession, sketch: MIBFSketch):
     with the worker count (an anti-scaling term measured in the round-4
     miBF scaling runs).  Real deployments classify many batches against
     one sketch; one broadcast per (sketch, Spark app) is the correct
-    amortization.  The cache dies with the sketch object or the app."""
+    amortization.  The cache dies with the sketch object or the app.
+
+    The cache key includes a cheap content checksum of the id array
+    (length + uint64 sum — any in-place mutation the sketch API performs,
+    e.g. OR-ing SAT_BIT, strictly changes it), so a sketch mutated after a
+    classify is re-broadcast instead of silently classified against stale
+    ids."""
+    import weakref
+
     app = spark.sparkContext.applicationId
-    cached = getattr(sketch, "_bc_cache", None)
-    if cached is not None and cached[0] == app:
+    fp = (sketch.ids.size, int(np.add.reduce(sketch.ids, dtype=np.uint64)))
+    sid = id(sketch)
+    cached = _BC_CACHE.get(sid)
+    if cached is not None and cached[0] == (app, fp):
         return cached[1]
+    if cached is not None and cached[0][0] == app:
+        # stale broadcast invalidated by mutation: release its blocks now
+        # (no job can be mid-flight with it — classify calls are
+        # driver-sequential) instead of leaking until app exit
+        cached[1].unpersist()
     payload = sketch.serialize()
     meta = (sketch.m_slots, sketch.num_hashes, sketch.shingle_w, sketch.labels,
             sketch.hash_family, sketch.canonical)
     bc = spark.sparkContext.broadcast((payload, meta, sketch.seeds))
-    sketch._bc_cache = (app, bc)
+    if sid not in _BC_CACHE:
+        # evict on sketch GC (Spark's ContextCleaner reclaims the broadcast
+        # blocks once the handle is dropped); runs during destruction, so
+        # an id()-reuse by a NEW sketch can never race a dead entry
+        weakref.finalize(sketch, _BC_CACHE.pop, sid, None)
+    _BC_CACHE[sid] = ((app, fp), bc)
     return bc
 
 
@@ -875,6 +928,7 @@ def classify_mibf(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_broadcast_bytes: int | None = None,
+    pin_source: bool = True,
 ) -> DataFrame:
     """Classify every document against the miBF — broadcast + one
     mapInPandas pass, zero shuffle (the MI twin of ``categorize``).
@@ -888,6 +942,10 @@ def classify_mibf(
     a sketch larger than the cap is evaluated in slot-range segments
     (``_classify_mibf_sharded``) — the executor-memory escape hatch for
     very large id arrays.  None = single pass (default).
+
+    ``pin_source`` (sharded mode only): pin the projected corpus once so
+    all segment passes stitch one consistent row set; set False only for
+    sources that re-evaluate deterministically (see ``session.pin_rows``).
     """
     from ..session import ensure_workers
 
@@ -904,6 +962,7 @@ def classify_mibf(
             spark, docs, _sketch_meta(sketch),
             lambda s, lo, hi: ids[lo:hi].tobytes(),
             n_seg, per_frame_prob, alpha_adj, multi_thresh, id_col, [text_col],
+            pin_source=pin_source,
         )
     bc = _sketch_broadcast(spark, sketch)
     id_field = docs.schema[id_col]
@@ -951,6 +1010,7 @@ def classify_mibf_pairs(
     text1_col: str = "text1",
     text2_col: str = "text2",
     max_broadcast_bytes: int | None = None,
+    pin_source: bool = True,
 ) -> DataFrame:
     """Paired miBF classification (``-e``): both mates' per-ID counts SUM
     and the binomial test runs on the combined frame count — the
@@ -978,7 +1038,7 @@ def classify_mibf_pairs(
             spark, docs, _sketch_meta(sketch),
             lambda s, lo, hi: ids[lo:hi].tobytes(),
             n_seg, per_frame_prob, alpha_adj, multi_thresh, id_col,
-            [text1_col, text2_col],
+            [text1_col, text2_col], pin_source=pin_source,
         )
     bc = _sketch_broadcast(spark, sketch)
     id_field = docs.schema[id_col]

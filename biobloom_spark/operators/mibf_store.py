@@ -205,6 +205,7 @@ def build_mibf_store(
     hash_family: str = "poly",
     resume: bool = False,
     snapshot_id: str | None = None,
+    pin_source: bool = True,
 ) -> MIBFStore:
     """Build a miBF straight into a parquet store (MIBFGen.hpp:131-309
     semantics; byte-identical resolution+saturation to ``build_mibf``).
@@ -292,7 +293,7 @@ def build_mibf_store(
         sat_slots = _sharded_lost_slots(
             spark, base, meta7,
             lambda s, lo, hi: _read_segment(spark, resolved_path, s, lo, hi),
-            bc_map, bounds,
+            bc_map, bounds, pin_source=pin_source,
         )
         bounds_b = bounds  # captured by value semantics via closure
 
@@ -387,15 +388,20 @@ def classify_mibf_store(
     multi_thresh: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    pin_source: bool = True,
 ) -> DataFrame:
     """``classify_mibf`` against a parquet store: always sharded, one
     segment broadcast per pass, ids fetched from disk — executor AND
     driver memory bounded by one segment (MIBFClassifier.hpp:773-939
-    semantics, identical outputs to the in-memory path)."""
+    semantics, identical outputs to the in-memory path).
+
+    ``pin_source=False``: re-scan instead of pinning the projected corpus
+    between segment passes — only for deterministic sources (see
+    ``session.pin_rows``)."""
     return _classify_mibf_sharded(
         spark, docs, store.meta, store.seg_fetch(spark), store.n_segments,
         store.per_frame_prob(), alpha / max(1, len(store.labels)),
-        multi_thresh, id_col, [text_col],
+        multi_thresh, id_col, [text_col], pin_source=pin_source,
     )
 
 
@@ -408,6 +414,7 @@ def classify_mibf_store_pairs(
     id_col: str = "doc_id",
     text1_col: str = "text1",
     text2_col: str = "text2",
+    pin_source: bool = True,
 ) -> DataFrame:
     """Paired (-e) classification against a parquet store — counts sum
     across mates before the combined-frame binomial test
@@ -415,5 +422,5 @@ def classify_mibf_store_pairs(
     return _classify_mibf_sharded(
         spark, docs, store.meta, store.seg_fetch(spark), store.n_segments,
         store.per_frame_prob(), alpha / max(1, len(store.labels)),
-        multi_thresh, id_col, [text1_col, text2_col],
+        multi_thresh, id_col, [text1_col, text2_col], pin_source=pin_source,
     )

@@ -114,7 +114,11 @@ def sketch_error_report(
     base = docs.filter(
         F.col(key_col).isNotNull() & F.col(text_col).isNotNull()
     ).select(
-        F.col(key_col).alias("key"), tokens_col(text_col).alias("toks")
+        # cast to string: registry filter_ids are stringified keys
+        # (build_filters casts), so the exact-side dicts must be too or a
+        # non-string key_col would miss every lookup
+        F.col(key_col).cast("string").alias("key"),
+        tokens_col(text_col).alias("toks"),
     )
     # exact doc-length (token-count) histogram per key — bounded rows
     hists: dict[str, list[tuple[float, int]]] = {}

@@ -61,6 +61,43 @@ def ensure_workers(spark: SparkSession) -> None:
     _SHIPPED.add(app_id)
 
 
+def pin_rows(df, pin: bool = True):
+    """Materialize a DataFrame once so multi-pass evaluation sees ONE row
+    set with stable surrogate ids.
+
+    The sharded/chunked paths (`_categorize_sharded`,
+    `_classify_mibf_sharded`, `_sharded_lost_slots`) attach
+    ``monotonically_increasing_id()`` and re-scan the plan once per
+    segment pass; for a non-deterministic source (``orderBy(rand())``, an
+    unseeded ``sample()``, a shuffle whose fetch order varies) each pass
+    would re-evaluate the plan and assign the SAME surrogate to DIFFERENT
+    rows, silently stitching partials from different documents together.
+    An eager ``localCheckpoint`` computes the projected rows once, stores
+    them on the executors (memory-and-disk) with lineage truncated, and
+    every pass reads those stored blocks: the surrogate is stable by
+    construction, and an executor loss fails the job loudly instead of
+    recomputing divergent rows.  Storage cost = one copy of the projected
+    (id, text) columns for the operator's lifetime — the standard
+    multi-pass trade (same blocks the passes would otherwise re-derive by
+    re-scanning the source per pass); blocks are freed when the checkpointed
+    plan is garbage-collected.
+
+    ``pin=False`` skips the checkpoint — the scale escape for sources the
+    caller KNOWS re-evaluate identically (a plain parquet/file scan with no
+    upstream shuffle or nondeterministic expression: partition ids and
+    within-partition row order are reproduced from the file listing).
+    There each pass re-scans the source instead of storing a full extra
+    copy of the projected corpus on executor storage — at the 10^12-page
+    target that copy is the difference between S cheap columnar scans and
+    ~corpus-sized cluster storage held for the operator's lifetime.
+    Correct-by-default stays pinned; opting out is an explicit assertion
+    about the source's determinism.
+    """
+    if not pin:
+        return df
+    return df.localCheckpoint(eager=True)
+
+
 def get_spark(
     app_name: str = "biobloom_spark",
     cores: int | str = "*",

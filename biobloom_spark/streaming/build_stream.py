@@ -11,16 +11,20 @@ the stream was chopped into batches (property-tested against the
 one-shot batch build).
 
 Registry persistence is versioned: batch N writes
-``<registry_path>/v=<N>`` and flips an atomically-renamed ``_LATEST``
-pointer.  Replayed batches (restart from the streaming checkpoint) are
-detected by their committed version directory and skipped, so the fold
-is exactly-once; a kill mid-write leaves no ``_SUCCESS`` marker and the
-batch re-runs — the same crash contract as the miBF store stages.
+``<registry_path>/v=<N>``; the "latest" registry is the highest version
+directory carrying the parquet committer's ``_SUCCESS`` marker — derived
+by listing through the Hadoop FileSystem API (works for any configured
+FS: file://, hdfs://, s3a://…; a driver restart on another host sees the
+same state).  Replayed batches (restart from the streaming checkpoint)
+are detected by their committed version directory and skipped, so the
+fold is exactly-once; a kill mid-write leaves no ``_SUCCESS`` marker and
+the batch re-runs (``mode="overwrite"`` clobbers the partial output) —
+the same crash contract as the miBF store stages.
 """
 
 from __future__ import annotations
 
-import os
+import posixpath
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -28,36 +32,38 @@ from ..config import BloomParams, BuildConfig
 
 __all__ = ["build_stream_writer", "load_latest_registry", "latest_version"]
 
-_LATEST = "_LATEST"
 
-
-def _latest_path(registry_path: str) -> str:
-    return os.path.join(registry_path, _LATEST)
-
-
-def latest_version(registry_path: str) -> int | None:
-    """Committed registry version (micro-batch id), or None before the
-    first commit."""
-    try:
-        with open(_latest_path(registry_path)) as f:
-            return int(f.read().strip())
-    except (FileNotFoundError, ValueError):
+def latest_version(spark: SparkSession, registry_path: str) -> int | None:
+    """Highest committed registry version (micro-batch id), or None before
+    the first commit.  A version counts as committed only when its
+    ``_SUCCESS`` marker exists — partial output from a killed write is
+    invisible here."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(registry_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
         return None
-
-
-def _set_latest(registry_path: str, version: int) -> None:
-    tmp = _latest_path(registry_path) + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, _latest_path(registry_path))  # atomic pointer flip
+    best: int | None = None
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if not (status.isDirectory() and name.startswith("v=")):
+            continue
+        try:
+            v = int(name[2:])
+        except ValueError:
+            continue
+        marker = jvm.org.apache.hadoop.fs.Path(status.getPath(), "_SUCCESS")
+        if fs.exists(marker) and (best is None or v > best):
+            best = v
+    return best
 
 
 def load_latest_registry(spark: SparkSession, registry_path: str) -> DataFrame | None:
     """The current merged registry DataFrame, or None before any commit."""
-    v = latest_version(registry_path)
+    v = latest_version(spark, registry_path)
     if v is None:
         return None
-    return spark.read.parquet(os.path.join(registry_path, f"v={v}"))
+    return spark.read.parquet(posixpath.join(registry_path, f"v={v}"))
 
 
 def build_stream_writer(
@@ -88,17 +94,14 @@ def build_stream_writer(
 
     if not stream_docs.isStreaming:
         raise ValueError("build_stream_writer expects a streaming DataFrame")
-    os.makedirs(registry_path, exist_ok=True)
     keys = list(sizing)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        vdir = os.path.join(registry_path, f"v={batch_id}")
+        vdir = posixpath.join(registry_path, f"v={batch_id}")
         if _stage_done(spark, vdir):
-            # checkpoint replay after a crash between commit and pointer
-            # flip: the fold already happened — just repair the pointer
-            prev = latest_version(registry_path)
-            if prev is None or prev < batch_id:
-                _set_latest(registry_path, batch_id)
+            # checkpoint replay after a crash between commit and the
+            # trigger advancing: the fold already happened — nothing to do
+            # (the committed directory IS the pointer)
             return
         batch_reg = build_filters(
             spark,
@@ -114,6 +117,5 @@ def build_stream_writer(
         prev = load_latest_registry(spark, registry_path)
         merged = merge_registries(prev, batch_reg) if prev is not None else batch_reg
         merged.write.mode("overwrite").parquet(vdir)
-        _set_latest(registry_path, batch_id)
 
     return stream_docs.writeStream.foreachBatch(fold)

@@ -132,6 +132,33 @@ class TestMaker:
         want = {r["filter_id"]: bytes(r["bitmap"]) for r in ref.collect()}
         assert got == want
 
+    def test_resume_rejects_changed_params(self, spark, corpus, tmp_path):
+        """Same input snapshot but different build-shaping params (here
+        coalesce_input, which renumbers partition ids) must NOT resume —
+        stale partials under new partition ids would silently drop data.
+        The fingerprint covers the params, so the build starts fresh."""
+        ppath = str(tmp_path / "partials")
+        # stale state: a (complete) build over the WRONG subset, same
+        # snapshot id — only the param change can force the rebuild
+        build_filters(
+            spark, corpus.limit(100), id_col="url", partials_path=ppath,
+            build=BuildConfig(strategy="partition"), keys=["en"],
+            snapshot_id="corpus-v1",
+        )
+        reg = build_filters(
+            spark, corpus, id_col="url", partials_path=ppath,
+            build=BuildConfig(strategy="partition", coalesce_input=2),
+            keys=["en"], snapshot_id="corpus-v1",
+        )
+        ref = build_filters(
+            spark, corpus, id_col="url",
+            build=BuildConfig(strategy="partition", coalesce_input=2),
+            keys=["en"],
+        )
+        got = {r["filter_id"]: bytes(r["bitmap"]) for r in reg.collect()}
+        want = {r["filter_id"]: bytes(r["bitmap"]) for r in ref.collect()}
+        assert got == want
+
     def test_subtract_filter_veto(self, spark, corpus):
         """U2 semantics (BloomFilterGenerator.cpp:1175-1199): frames present
         in the subtract filter are not inserted."""
@@ -184,6 +211,57 @@ class TestCategorizer:
                 ).collect()
             }
             assert one == sharded
+
+    def test_sharded_nondeterministic_source_consistent(self, spark, corpus, registry):
+        """The multi-pass stitch must survive a source whose row order
+        changes between plan evaluations (pin_rows materializes ONE row
+        set): every url's sharded result equals its single-pass result —
+        mixed stitching would pair one doc's id with another doc's
+        partials."""
+        import random
+
+        jitter = F.udf(lambda: random.random(), "double").asNondeterministic()
+        shuffled = (
+            corpus.withColumn("__j", jitter()).orderBy("__j").drop("__j")
+        )
+        cap = max(len(f["bitmap"]) for f in registry)  # >= 2 passes
+        cfg = CategorizerConfig(mode="std")
+        key = lambda rows: {
+            r["url"]: (r["assigned"], tuple(r["hits"]), r["n_frames"])
+            for r in rows
+        }
+        one = key(categorize(spark, corpus, registry, cfg, id_col="url").collect())
+        sharded = key(
+            categorize(
+                spark, shuffled, registry, cfg, id_col="url",
+                max_broadcast_bytes=cap,
+            ).collect()
+        )
+        assert one == sharded
+
+    def test_sharded_pin_optout_deterministic_source(self, spark, corpus, registry):
+        """pin_source=False (the 100 TB storage escape for sources the
+        caller knows re-evaluate identically, e.g. a plain file scan) must
+        produce the same results as the pinned default on such a source."""
+        cap = max(len(f["bitmap"]) for f in registry)  # >= 2 passes
+        cfg = CategorizerConfig(mode="std")
+        key = lambda rows: {
+            r["url"]: (r["assigned"], tuple(r["hits"]), r["n_frames"])
+            for r in rows
+        }
+        pinned = key(
+            categorize(
+                spark, corpus, registry, cfg, id_col="url",
+                max_broadcast_bytes=cap,
+            ).collect()
+        )
+        unpinned = key(
+            categorize(
+                spark, corpus, registry, cfg, id_col="url",
+                max_broadcast_bytes=cap, pin_source=False,
+            ).collect()
+        )
+        assert pinned == unpinned
 
     def test_sharded_duplicate_ids_one_row_per_input(self, spark, corpus, registry):
         """Sharded mode must emit one output row per input row even when
@@ -306,14 +384,21 @@ class TestCategorizer:
                 ).collect())
                 assert one == multi, (inclusive, cap)
 
-    def test_chunked_classic_layout_rejected(self, spark, corpus, registry):
-        """The classic layout spreads probes across the whole bitmap — an
-        oversized classic filter must fail loudly, not shard wrongly."""
+    def test_chunked_classic_layout_degrades_whole(self, spark, corpus, registry):
+        """The classic layout spreads probes across the whole bitmap, so an
+        oversized classic filter cannot chunk — it must degrade to its own
+        whole-filter pass (warned, over the soft cap) rather than shard
+        wrongly or hard-fail a config that ran before chunking existed."""
         from biobloom_spark.operators.categorizer import _plan_passes
 
         classic = [dict(f, block_bits=0) for f in registry]
-        with pytest.raises(ValueError, match="cannot shard by word range"):
-            _plan_passes(classic, min(len(f["bitmap"]) for f in classic) // 2)
+        cap = min(len(f["bitmap"]) for f in classic) // 2
+        with pytest.warns(RuntimeWarning, match="cannot shard by word range"):
+            passes = _plan_passes(classic, cap)
+        # every filter still evaluated exactly once, no chunk passes
+        assert all(p[0] == "full" for p in passes)
+        covered = [gi for p in passes for gi in range(p[1], p[2])]
+        assert covered == list(range(len(classic)))
 
     def test_summarize_exploded_equals_wide(self, spark):
         """The explode-based summary (large filter sets) must reproduce the

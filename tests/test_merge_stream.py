@@ -129,7 +129,7 @@ class TestBuildStream:
         )
         q.awaitTermination(180)
 
-        assert latest_version(reg_path) is not None
+        assert latest_version(spark, reg_path) is not None
         merged = load_latest_registry(spark, reg_path)
         full = build_filters(spark, corpus, id_col="url", expected_sizing=sizing)
         assert _bitmaps(merged) == _bitmaps(full)
@@ -186,3 +186,25 @@ class TestBuildStream:
 
         with pytest.raises(ValueError, match="streaming"):
             build_stream_writer(spark, corpus, sizing, str(tmp_path / "r"))
+
+    def test_latest_version_ignores_uncommitted(self, spark, tmp_path):
+        """A version directory without the parquet committer's _SUCCESS
+        marker (a killed mid-write batch) must be invisible to
+        latest_version — and the whole protocol must go through the
+        Hadoop FS API, not local-file pointers."""
+        import os
+
+        from biobloom_spark.streaming.build_stream import (
+            latest_version,
+            load_latest_registry,
+        )
+
+        reg_path = str(tmp_path / "registry3")
+        assert latest_version(spark, reg_path) is None
+        assert load_latest_registry(spark, reg_path) is None
+        df = spark.createDataFrame([(1,)], "x int")
+        df.write.parquet(os.path.join(reg_path, "v=0"))
+        df.write.parquet(os.path.join(reg_path, "v=2"))
+        os.remove(os.path.join(reg_path, "v=2", "_SUCCESS"))  # simulate kill
+        os.makedirs(os.path.join(reg_path, "not-a-version"))
+        assert latest_version(spark, reg_path) == 0

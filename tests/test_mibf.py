@@ -235,6 +235,54 @@ class TestClassify:
         assert single == sharded
         assert len(sharded) == probe.count()
 
+    def test_sharded_classify_nondeterministic_source(self, spark, labeled_corpus, mibf):
+        """Segment passes over a source whose row order changes between
+        evaluations must still stitch each doc's own partials (pin_rows):
+        per-doc results equal the single-pass results."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        jitter = F.udf(lambda: random.random(), "double").asNondeterministic()
+        probe = labeled_corpus.select("doc_id", "text")
+        shuffled = probe.withColumn("__j", jitter()).orderBy("__j").drop("__j")
+        key = lambda r: (
+            r["assigned"], tuple(r["hits"]), r["n_frames"],
+            round(r["best_score"], 9),
+        )
+        single = {r["doc_id"]: key(r) for r in classify_mibf(spark, probe, mibf).collect()}
+        sharded = {
+            r["doc_id"]: key(r)
+            for r in classify_mibf(
+                spark, shuffled, mibf, max_broadcast_bytes=mibf.ids.nbytes // 3
+            ).collect()
+        }
+        assert single == sharded
+
+    def test_broadcast_cache_invalidated_on_mutation(self, spark, labeled_corpus, mibf):
+        """Mutating the sketch's ids after a classify must invalidate the
+        session-scoped broadcast cache (content checksum in the key), not
+        silently classify against the stale payload."""
+        import copy
+
+        from biobloom_spark.operators.mibf import _sketch_broadcast
+
+        # populate the fixture's own cache first: a classified sketch must
+        # stay deepcopy-able (the Broadcast handle lives in a module-level
+        # weakref-evicted cache, not in the instance __dict__ — a handle on
+        # the object would crash deepcopy/pickle with
+        # BROADCAST_VARIABLE_NOT_LOADED)
+        _sketch_broadcast(spark, mibf)
+        sk = copy.deepcopy(mibf)
+        bc1 = _sketch_broadcast(spark, sk)
+        assert _sketch_broadcast(spark, sk) is bc1  # cache hit
+        sk.ids = np.zeros_like(sk.ids)  # wipe: classify must see this
+        bc2 = _sketch_broadcast(spark, sk)
+        assert bc2 is not bc1
+        probe = labeled_corpus.select("doc_id", "text").limit(5)
+        out = classify_mibf(spark, probe, sk).collect()
+        assert all(r["assigned"] == "noMatch" for r in out)
+
     def test_summary_rows(self, spark, labeled_corpus, mibf):
         res = classify_mibf(spark, labeled_corpus, mibf)
         summ = {r["assigned"]: r["n_docs"] for r in mibf_summarize(res).collect()}

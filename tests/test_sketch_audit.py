@@ -37,6 +37,21 @@ class TestSketchErrorReport:
                 r.asDict()
             )
 
+    def test_int_key_col_within_bounds(self, spark, documents):
+        """A non-string key_col must audit correctly: the registry
+        stringifies filter ids, so the exact-side lookups must align (a
+        type mismatch would compare sketches against bogus one-point
+        histograms and flag healthy filters)."""
+        docs = documents.withColumn(
+            "lang_id", F.abs(F.hash("lang")) % F.lit(1000)
+        )
+        rep = sketch_error_report(spark, docs, key_col="lang_id").collect()
+        assert len(rep) == 5
+        for r in rep:
+            assert r["hll_ok"] and r["cms_ok"] and r["kll_ok"] and r["tdigest_ok"], (
+                r.asDict()
+            )
+
     def test_bounds_hold_after_merge(self, spark, documents):
         """Merged companion sketches must satisfy the same bounds — the
         mergeability contract is about estimates, not just bytes."""
