@@ -217,18 +217,25 @@ class MIBFClaims:
         return (self.ties & _TIE_LABEL_MASK).astype(np.uint16)
 
     def serialize(self) -> bytes:
-        """8 bytes per claim, not 16: the tiebreak is a pure function of
-        (slot, label) — ``claim_ties`` derives it with splitmix64 — so the
-        wire format carries only sorted slots (6-byte deltas, first value
-        full-width) plus uint16 labels, and the receiver recomputes ties
-        bit-identically.  The claims exchange is the miBF build's dominant
-        byte mover (BENCH.md round-4: multi-GB at 1.2M pages through the
-        one non-core-scaling path), so this halves it for vectorized
-        (scaling) CPU.  Deltas that overflow 48 bits (tiny claim sets over
-        a huge slot space) fall back to raw 8-byte slots, tag ``b"U"``.
-        Blobs live only inside one job's shuffle — no cross-version
-        persistence.  No zlib: uniform hash-derived bytes are
-        incompressible and Spark lz4-frames shuffle blocks anyway."""
+        """Adaptive-width claims pack, typically ~3 bytes per claim.
+
+        The tiebreak is a pure function of (slot, label) — ``claim_ties``
+        derives it with splitmix64 — so the wire carries only sorted slots
+        plus labels and the receiver recomputes ties bit-identically.
+        Unlike the Bloom build's 64-bit frame hashes (near their delta
+        entropy at 6 bytes), claim slots live in a DENSE space — m ≈
+        h·n/ln2 slots for n entries — so per-blob sorted deltas are
+        geometric with a small mean (≈ slot-space/claims; ~92 at the
+        BENCH.md 1.2M-page shape) and fit 2 bytes; labels fit 1 byte for
+        corpora under 256 labels.  Layout (tag ``b"W"``): 1-byte delta
+        width ``dw`` = minimal width holding the max delta, 1-byte label
+        width ``lw`` (1 or 2), 8-byte first slot, ``dw``-byte deltas,
+        ``lw``-byte labels — vs the previous fixed 6+2 this cuts the
+        claims exchange ~62% at the bench shape (the miBF build's dominant
+        byte mover through the one non-core-scaling path).  Blobs live
+        only inside one job's shuffle — no cross-version persistence
+        (``deserialize`` still reads the older ``T``/``U``/legacy blobs).
+        No zlib: the deltas sit near their geometric entropy already."""
         labels = (self.ties & _TIE_LABEL_MASK).astype(np.uint16)
         n = self.slots.size
         if n == 0:
@@ -236,19 +243,35 @@ class MIBFClaims:
         d = np.empty(n, dtype=np.uint64)
         d[0] = 0
         np.subtract(self.slots[1:], self.slots[:-1], out=d[1:].view(np.int64))
-        if n > 1 and int(d[1:].max()) >= 1 << 48:
-            return b"U" + self.slots.tobytes() + labels.tobytes()
-        six = np.ascontiguousarray(d.astype("<u8")).view(np.uint8).reshape(-1, 8)[:, :6]
+        max_d = int(d.max())  # d[0] == 0, so safe for n == 1
+        dw = max(1, (max_d.bit_length() + 7) // 8)
+        lw = 1 if int(labels.max()) < 256 else 2
+        db = np.ascontiguousarray(d.astype("<u8")).view(np.uint8).reshape(-1, 8)
+        lb = labels.astype("<u1") if lw == 1 else labels.astype("<u2")
         return (
-            b"T"
+            b"W"
+            + bytes([dw, lw])
             + int(self.slots[0]).to_bytes(8, "little")
-            + six[1:].tobytes()
-            + labels.tobytes()
+            + db[1:, :dw].tobytes()
+            + lb.tobytes()
         )
 
     @classmethod
     def deserialize(cls, payload: bytes) -> "MIBFClaims":
         tag, body = payload[:1], payload[1:]
+        if tag == b"W":
+            dw, lw = body[0], body[1]
+            first = int.from_bytes(body[2:10], "little")
+            rest = body[10:]
+            n = (len(rest) + dw) // (dw + lw)  # dw(n-1) + lw·n bytes
+            dlen = dw * (n - 1)
+            d = np.zeros((n, 8), dtype=np.uint8)
+            d[1:, :dw] = np.frombuffer(rest[:dlen], dtype=np.uint8).reshape(-1, dw)
+            deltas = d.reshape(-1).view("<u8").astype(np.uint64)
+            deltas[0] = np.uint64(first)
+            slots = np.cumsum(deltas, dtype=np.uint64).astype(np.int64)
+            labels = np.frombuffer(rest[dlen:], dtype=np.uint8 if lw == 1 else np.uint16)
+            return cls(slots, _recompute_ties(slots, labels.astype(np.uint16)))
         if tag == b"T":
             first = int.from_bytes(body[:8], "little")
             rest = body[8:]

@@ -716,8 +716,8 @@ class TestStore:
 
 class TestClaimsWireFormat:
     def test_roundtrip_packed_sparse_empty_single(self):
-        """8-byte/claim wire format: ties are derived from (slot, label),
-        slots ride as 6-byte deltas; sparse slot spaces fall back to raw."""
+        """Adaptive-width wire format: ties are derived from (slot, label),
+        slots ride as min-width deltas, labels as 1 byte when they fit."""
         import numpy as np
 
         from biobloom_spark.sketch.mibf import (
@@ -731,21 +731,46 @@ class TestClaimsWireFormat:
         labels = rng.integers(1, 100, size=slots.size).astype(np.uint16)
         c = MIBFClaims(slots, _recompute_ties(slots, labels))
         blob = c.serialize()
-        assert blob[:1] == b"T"
-        assert len(blob) <= 8 * slots.size + 16
+        assert blob[:1] == b"W"
+        # density 1e5/2^30 -> max delta < 2^24 -> 3-byte deltas, 1-byte labels
+        assert len(blob) <= 4 * slots.size + 16
         d = MIBFClaims.deserialize(blob)
         assert np.array_equal(d.slots, c.slots) and np.array_equal(d.ties, c.ties)
+        # dense slot space -> 2-byte deltas (the bench shape)
+        s_dense = np.unique(rng.integers(0, 1 << 20, size=50_000, dtype=np.int64))
+        c_dense = MIBFClaims(
+            s_dense, _recompute_ties(s_dense, np.ones(s_dense.size, dtype=np.uint16))
+        )
+        assert len(c_dense.serialize()) <= 3 * s_dense.size + 16
         # elementwise tie recompute == per-label claim_ties
         assert np.array_equal(
             claim_ties(slots[:64], 7),
             _recompute_ties(slots[:64], np.full(64, 7, dtype=np.uint16)),
         )
-        # >=2^48 delta -> raw fallback, still exact
+        # >=2^48 delta -> width widens to 8 bytes, still exact
         s2 = np.asarray([5, 5 + (1 << 49)], dtype=np.int64)
         c2 = MIBFClaims(s2, _recompute_ties(s2, np.asarray([1, 2], dtype=np.uint16)))
-        assert c2.serialize()[:1] == b"U"
         d2 = MIBFClaims.deserialize(c2.serialize())
         assert np.array_equal(d2.slots, c2.slots) and np.array_equal(d2.ties, c2.ties)
+        # labels >= 256 -> 2-byte labels, still exact
+        s4 = np.sort(rng.choice(1 << 16, size=1000, replace=False)).astype(np.int64)
+        l4 = rng.integers(1, 30000, size=s4.size).astype(np.uint16)
+        c4 = MIBFClaims(s4, _recompute_ties(s4, l4))
+        d4 = MIBFClaims.deserialize(c4.serialize())
+        assert np.array_equal(d4.slots, c4.slots) and np.array_equal(d4.ties, c4.ties)
+        # the older fixed-width tags still decode (in-flight compat)
+        legacy_t = (
+            b"T" + int(s4[0]).to_bytes(8, "little")
+            + np.ascontiguousarray(
+                np.diff(s4).astype("<u8")
+            ).view(np.uint8).reshape(-1, 8)[:, :6].tobytes()
+            + l4.astype("<u2").tobytes()
+        )
+        dt = MIBFClaims.deserialize(legacy_t)
+        assert np.array_equal(dt.slots, c4.slots) and np.array_equal(dt.ties, c4.ties)
+        legacy_u = b"U" + s4.tobytes() + l4.astype("<u2").tobytes()
+        du = MIBFClaims.deserialize(legacy_u)
+        assert np.array_equal(du.slots, c4.slots) and np.array_equal(du.ties, c4.ties)
         # empty + single
         assert MIBFClaims.deserialize(MIBFClaims().serialize()).slots.size == 0
         s3 = np.asarray([123456789], dtype=np.int64)
