@@ -832,17 +832,30 @@ def _classify_mibf_sharded(
                 offsets = np.zeros(n + 1, dtype=np.int64)
                 np.cumsum(frames, out=offsets[1:])
                 raw_b = np.zeros((h, int(offsets[-1])), dtype=np.uint16)
+                # gather every segment blob of every row, then scatter the
+                # whole batch in ONE fancy-index write: the doc-local flat
+                # index e encodes (probe, frame) as probe*frames[row]+frame,
+                # so global coords derive arithmetically — no per-row
+                # (h x frames) temp allocation/copy in a Python loop
+                idx_c: list[np.ndarray] = []
+                val_c: list[np.ndarray] = []
+                row_c: list[np.ndarray] = []
                 for i, row_parts in enumerate(pdf["parts"]):
-                    fc = int(frames[i])
-                    if fc == 0:
+                    if frames[i] == 0:
                         continue
-                    tmp = np.zeros(h * fc, dtype=np.uint16)
                     for p in row_parts:
-                        if len(p[f"idx{m}"]):
-                            tmp[np.frombuffer(p[f"idx{m}"], dtype=np.uint32)] = (
-                                np.frombuffer(p[f"val{m}"], dtype=np.uint16)
-                            )
-                    raw_b[:, offsets[i] : offsets[i + 1]] = tmp.reshape(h, fc)
+                        bi = p[f"idx{m}"]
+                        if len(bi):
+                            e = np.frombuffer(bi, dtype=np.uint32)
+                            idx_c.append(e)
+                            val_c.append(np.frombuffer(p[f"val{m}"], dtype=np.uint16))
+                            row_c.append(np.full(e.size, i, dtype=np.int64))
+                if idx_c:
+                    e = np.concatenate(idx_c).astype(np.int64)
+                    v = np.concatenate(val_c)
+                    ri = np.concatenate(row_c)
+                    fc = frames[ri]
+                    raw_b[e // fc, offsets[ri] + e % fc] = v
                 mate_counts.append(
                     _count_from_gather(
                         offsets, raw_b & ID_MASK, (raw_b & SAT_BIT) != 0, L
