@@ -71,6 +71,50 @@ def _busy(_):
 _BUSY_UNIT = 1.0
 
 
+def quick_probe(n_cores: int) -> float:
+    """One fast ceiling reading (~15 s): the hardware efficiency ceiling a
+    perfectly scaling job would measure right now.  Used by ``--gate`` to
+    defer launch to a calm window and recorded per rep-pair so every
+    sample carries its own simultaneous weather reading."""
+    import multiprocessing as mp
+
+    global _BUSY_UNIT
+    t0 = time.perf_counter()
+    _busy(0)
+    _BUSY_UNIT = time.perf_counter() - t0
+
+    def agg_speedup(procs: int) -> float:
+        with mp.Pool(procs) as p:
+            t0 = time.perf_counter()
+            p.map(_busy, range(procs))
+            wall = time.perf_counter() - t0
+        return procs * _BUSY_UNIT / wall
+
+    lo, hi = agg_speedup(n_cores), agg_speedup(4 * n_cores)
+    return round(hi / (4 * lo), 3)
+
+
+def wait_for_calm(n_cores: int, gate: float, timeout_s: float) -> float:
+    """Block until two consecutive probes ~30 s apart both read >= gate
+    (one calm probe means nothing on this host — BENCH.md's 01:16 run saw
+    0.85/0.96 probes 20 s before a collapsed window; two in a row is the
+    cheapest persistence test).  Returns the last reading (gated or not —
+    on timeout the caller proceeds and the table's annotation says so)."""
+    deadline = time.time() + timeout_s
+    last = quick_probe(n_cores)
+    while time.time() < deadline:
+        if last >= gate:
+            time.sleep(30)
+            second = quick_probe(n_cores)
+            if second >= gate:
+                return second
+            last = second
+            continue
+        time.sleep(60)
+        last = quick_probe(n_cores)
+    return last
+
+
 def prepare(n_docs: int) -> None:
     from biobloom_spark.corpus import generate_corpus
     from biobloom_spark.session import get_spark
@@ -155,6 +199,11 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--n-cores", type=int, default=4, help="N; the run compares N vs 4N cores")
     ap.add_argument("--run-cores", type=int, default=None)
+    ap.add_argument(
+        "--gate", type=float, default=None,
+        help="defer launch until two consecutive probes read ceiling >= GATE",
+    )
+    ap.add_argument("--gate-timeout", type=float, default=7200.0)
     args = ap.parse_args()
 
     if args.run_cores:
@@ -162,9 +211,13 @@ def main() -> None:
         return
 
     prepare(args.docs)
+    if args.gate is not None:
+        launch_ceiling = wait_for_calm(args.n_cores, args.gate, args.gate_timeout)
+        print(json.dumps({"gate": args.gate, "launch_ceiling": launch_ceiling}))
     # interleave reps across core counts: host throughput drifts over
     # minutes (shared VM), so 8c and 32c must sample the same weather
     samples = {args.n_cores: [], 4 * args.n_cores: []}
+    pair_ceilings = []
     for rep in range(args.reps):
         for cores in (args.n_cores, 4 * args.n_cores):
             out = subprocess.run(
@@ -175,6 +228,10 @@ def main() -> None:
             r = json.loads(out.stdout.strip().splitlines()[-1])
             samples[cores].append(r)
             print(r)
+        # weather stamp for THIS rep pair: lets the table annotation say
+        # which samples ran coherently instead of inferring it post-hoc
+        pair_ceilings.append(quick_probe(args.n_cores))
+        print(json.dumps({"rep": rep, "pair_ceiling": pair_ceilings[-1]}))
     lo, hi = args.n_cores, 4 * args.n_cores
     # two estimators per side:
     # - median: the typical-weather number;
@@ -194,6 +251,7 @@ def main() -> None:
     n = results[lo]["n_docs"]
     calib = run_calibration(args.n_cores)
     ceiling = calib["hardware_efficiency_ceiling"]
+    calib["per_rep_pair_ceilings"] = pair_ceilings
     report = {"n_docs": n, "calibration": calib}
     phases = {
         "build": ("build_med", "build_min"),
@@ -234,7 +292,8 @@ def main() -> None:
             f" {calib[f'cpu_speedup_{lo}p']}x at {lo} procs,"
             f" {calib[f'cpu_speedup_{hi}p']}x at {hi} procs → hardware"
             f" efficiency ceiling {ceiling} (what a PERFECTLY scaling job"
-            f" would measure on this host right now).\n\n"
+            f" would measure on this host right now); per-rep-pair probe"
+            f" ceilings {pair_ceilings}.\n\n"
             f"| phase | pages/s @{lo}c (med) | pages/s @{hi}c (med) | eff (med) | eff (min-est) | eff/hw-ceiling |\n"
             f"|---|---|---|---|---|---|\n"
         )
