@@ -130,7 +130,7 @@ def prepare(n_docs: int) -> None:
     spark.stop()
 
 
-def run_one(cores: int, reps: int) -> dict:
+def run_one(cores: int, reps: int, phases: str = "build,categorize") -> dict:
     from biobloom_spark.config import BuildConfig
     from biobloom_spark.operators import (
         build_filters,
@@ -142,6 +142,7 @@ def run_one(cores: int, reps: int) -> dict:
     from biobloom_spark.session import get_spark
 
     # identical job shape at both core counts: only the core count varies
+    want = set(phases.split(","))
     spark = get_spark("scale_run", cores=cores, shuffle_partitions=64, driver_memory="48g")
     docs = spark.read.parquet(CORPUS_PATH).cache()
     n = docs.count()
@@ -160,10 +161,11 @@ def run_one(cores: int, reps: int) -> dict:
         spark, docs, key_col="lang", text_col="text", id_col="url",
         build=BuildConfig(num_buckets=64, merge_groups=8, coalesce_input=8),
     )
-    filters = load_registry(reg)
-    # untimed categorize warm pass too: rep 0 otherwise pays the broadcast
-    # materialization + cached-corpus page faults (measured ~3x inflation)
-    summarize_fused(spark, docs, filters, id_col="url").collect()
+    filters = load_registry(reg) if "categorize" in want else None
+    if filters is not None:
+        # untimed categorize warm pass too: rep 0 otherwise pays the broadcast
+        # materialization + cached-corpus page faults (measured ~3x inflation)
+        summarize_fused(spark, docs, filters, id_col="url").collect()
 
     def sample(fn):
         out = []
@@ -181,16 +183,19 @@ def run_one(cores: int, reps: int) -> dict:
             build=BuildConfig(num_buckets=64, merge_groups=8, coalesce_input=8),
         ).write.format("noop").mode("overwrite").save()
 
-    build_s = sample(do_build)
+    out = {"cores": cores, "n_docs": n}
+    if "build" in want:
+        out["build_s"] = round(sample(do_build), 3)
 
-    def do_cat():
-        summarize_fused(spark, docs, filters, id_col="url").collect()
+    if filters is not None:
+        def do_cat():
+            summarize_fused(spark, docs, filters, id_col="url").collect()
 
-    # the first fused categorize doubles as its own memory warmup: it scans
-    # the cached corpus the build just touched
-    cat_s = sample(do_cat)
+        # the first fused categorize doubles as its own memory warmup: it
+        # scans the cached corpus the build just touched
+        out["categorize_s"] = round(sample(do_cat), 3)
     spark.stop()
-    return {"cores": cores, "n_docs": n, "build_s": round(build_s, 3), "categorize_s": round(cat_s, 3)}
+    return out
 
 
 def main() -> None:
@@ -204,10 +209,14 @@ def main() -> None:
         help="defer launch until two consecutive probes read ceiling >= GATE",
     )
     ap.add_argument("--gate-timeout", type=float, default=7200.0)
+    ap.add_argument(
+        "--phases", default="build,categorize",
+        help="comma list; 'build' alone halves a sample's weather exposure",
+    )
     args = ap.parse_args()
 
     if args.run_cores:
-        print(json.dumps(run_one(args.run_cores, args.reps)))
+        print(json.dumps(run_one(args.run_cores, args.reps, args.phases)))
         return
 
     prepare(args.docs)
@@ -221,7 +230,8 @@ def main() -> None:
     for rep in range(args.reps):
         for cores in (args.n_cores, 4 * args.n_cores):
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--run-cores", str(cores), "--reps", "1"],
+                [sys.executable, os.path.abspath(__file__), "--run-cores", str(cores),
+                 "--reps", "1", "--phases", args.phases],
                 capture_output=True, text=True, check=True,
                 cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             )
@@ -238,27 +248,32 @@ def main() -> None:
     # - min: the least-contended estimate (standard under noisy neighbours
     #   — each timing only ever ADDS noise, so min is closest to the true
     #   compute cost; both sides get the same treatment).
+    want = set(args.phases.split(","))
     results = {}
     for cores in (lo, hi):
         vals = lambda key: sorted(s[key] for s in samples[cores])
-        results[cores] = {
-            "n_docs": samples[cores][0]["n_docs"],
-            "build_med": vals("build_s")[len(samples[cores]) // 2],
-            "build_min": vals("build_s")[0],
-            "cat_med": vals("categorize_s")[len(samples[cores]) // 2],
-            "cat_min": vals("categorize_s")[0],
-        }
+        results[cores] = {"n_docs": samples[cores][0]["n_docs"]}
+        if "build" in want:
+            results[cores]["build_med"] = vals("build_s")[len(samples[cores]) // 2]
+            results[cores]["build_min"] = vals("build_s")[0]
+        if "categorize" in want:
+            results[cores]["cat_med"] = vals("categorize_s")[len(samples[cores]) // 2]
+            results[cores]["cat_min"] = vals("categorize_s")[0]
     n = results[lo]["n_docs"]
     calib = run_calibration(args.n_cores)
     ceiling = calib["hardware_efficiency_ceiling"]
     calib["per_rep_pair_ceilings"] = pair_ceilings
     report = {"n_docs": n, "calibration": calib}
-    phases = {
-        "build": ("build_med", "build_min"),
-        "categorize": ("cat_med", "cat_min"),
-    }
+    phases = {}
+    if "build" in want:
+        phases["build"] = ("build_med", "build_min")
+    if "categorize" in want:
+        phases["categorize"] = ("cat_med", "cat_min")
     rows = []
-    for phase, keys in list(phases.items()) + [("pipeline", None)]:
+    phase_list = list(phases.items())
+    if len(phases) == 2:
+        phase_list.append(("pipeline", None))
+    for phase, keys in phase_list:
         if keys is not None:
             kmed, kmin = keys
         if phase == "pipeline":
