@@ -235,6 +235,23 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, oracle-checked end to end:
+    md5-parity Rademacher hyperplanes over trunc(v*1e6) integer-quantized
+    components make every LSH bucket code an exact int64 the DuckDB twin
+    recomputes bit-for-bit; candidates (any-table collision) then verify
+    by exact double cosine.  Threshold 0.4 because the synthetic
+    embeddings table plants no high-cosine pairs (max pairwise 0.513) —
+    the oracle checks algorithm equality, not recall; recall-vs-brute-
+    force is pytest-covered on planted duplicates."""
+    from biobloom_spark.operators.dedup import embedding_near_dups
+
+    embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_near_dups(
+        embs, threshold=0.4, lsh_planes=6, tables=8, hash_fn="md5"
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language quota capping (corpus balancing): keep 20 docs per
     lang by the deterministic md5 draw.  The declarative rank-limit plan
@@ -425,6 +442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "dedup_clusters": q_dedup_clusters,
         "simhash_dups": q_simhash_dups,
+        "emb_near_dups": q_emb_near_dups,
         "stratified_sample": q_stratified_sample,
         "token_stats_by_lang": q_token_stats_by_lang,
         "domain_stats": q_domain_stats,
@@ -680,6 +698,51 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
             FROM ham WHERE hamming <= 12
+        """,
+        # embedding-LSH twin: md5-parity Rademacher planes over
+        # trunc(v*1e6) integer components — every projection is an exact
+        # int64 SUM, so bucket codes match the engine bit-for-bit;
+        # candidates = distinct any-table collisions, verified by exact
+        # double cosine (round 6, same convention as embedding_topk)
+        "emb_near_dups": """
+            WITH planes AS (
+              SELECT t, p, i,
+                     CASE WHEN (strpos('0123456789abcdef',
+                          substr(md5(CAST(t AS VARCHAR) || '_' ||
+                                     CAST(p AS VARCHAR) || '_' ||
+                                     CAST(i AS VARCHAR)), 1, 1)) - 1) % 2 = 1
+                          THEN 1 ELSE -1 END AS sgn
+              FROM range(8) r1(t), range(6) r2(p), range(64) r3(i)
+            ),
+            vecs AS (
+              SELECT vec_id, i,
+                     CAST(trunc(CAST(embedding[i + 1] AS DOUBLE) * 1000000)
+                          AS BIGINT) AS w
+              FROM embeddings, range(64) r(i)
+            ),
+            proj AS (
+              SELECT v.vec_id, pl.t, pl.p, SUM(pl.sgn * v.w) AS s
+              FROM vecs v JOIN planes pl USING (i) GROUP BY 1, 2, 3
+            ),
+            codes AS (
+              SELECT vec_id, t, SUM(CASE WHEN s > 0 THEN 1 << p ELSE 0 END) AS code
+              FROM proj GROUP BY 1, 2
+            ),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM codes a JOIN codes b
+                ON a.t = b.t AND a.code = b.code AND a.vec_id < b.vec_id
+            )
+            SELECT c.id_a, c.id_b,
+                   round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                                CAST(eb.embedding AS DOUBLE[])),
+                         6) AS cosine
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.id_a
+            JOIN embeddings eb ON eb.vec_id = c.id_b
+            WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                               CAST(eb.embedding AS DOUBLE[])),
+                        6) >= 0.4
         """,
         # IVF twin: md5-ordered centroid sample -> nearest-centroid
         # assignment -> 6 nearest lists per query -> top-5 by rounded

@@ -492,6 +492,7 @@ def embedding_near_dups(
     threshold: float = 0.95,
     lsh_planes: int = 10,
     tables: int = 12,
+    hash_fn: str = "gaussian",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-table random-
     hyperplane LSH (OR-amplification).
@@ -504,6 +505,17 @@ def embedding_near_dups(
     ~L*2^-P ≈ 1.2% per table pair universe (bucket-join, never all-pairs).
     One UDF pass computes all L sketches.
 
+    ``hash_fn``: 'gaussian' (default, seeded standard-normal planes — the
+    production path) or 'md5' — Rademacher (±1) planes whose sign at
+    (table, plane, dim) is the parity of md5(f"{t}_{p}_{i}")'s first hex
+    digit, probed against integer-quantized components
+    trunc(float64(v_i) * 1e6).  Projections are then exact int64 sums, so
+    a DuckDB twin recomputes every bucket code bit-for-bit and the output
+    pair set is oracle-checkable end to end (same trick as
+    ``simhash_signatures_sql`` / md5-ordered IVF centroids).  Rademacher
+    projections satisfy the same Johnson–Lindenstrauss/sign-sketch
+    guarantees as Gaussian (Achlioptas 2003), so recall behaves alike.
+
     Exchange economics (mirrors minhash_lsh_pairs): the bucket join and
     the candidate dedup move only (id, tbl, bucket) / (id_a, id_b) rows —
     the d-float vectors ride NEITHER (the old shape shipped each vector L
@@ -513,19 +525,45 @@ def embedding_near_dups(
     """
     dim_row = embs.select(F.size(vec_col).alias("d")).first()
     dim = int(dim_row["d"])
-    rng = np.random.default_rng(0xB10B)  # fixed planes: deterministic sketch
-    planes = rng.standard_normal((tables, lsh_planes, dim))
     weights = 1 << np.arange(lsh_planes)
+    if hash_fn == "md5":
+        import hashlib
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def sketch_all(v: pd.Series) -> pd.Series:
-        mat = np.stack(v.to_numpy())  # (n, dim)
-        # (n, L, P) signs in one tensordot, then pack per table
-        proj = np.tensordot(mat, planes, axes=([1], [2]))  # (n, L, P)
-        codes = ((proj > 0) * weights).sum(axis=2).astype(np.int64)  # (n, L)
-        return pd.Series(list(codes))
+        signs = np.empty((tables, lsh_planes, dim), dtype=np.int64)
+        for t in range(tables):
+            for p in range(lsh_planes):
+                for i in range(dim):
+                    nib = hashlib.md5(f"{t}_{p}_{i}".encode()).hexdigest()[0]
+                    signs[t, p, i] = 1 if int(nib, 16) % 2 else -1
 
-    vecs = embs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def sketch_all(v: pd.Series) -> pd.Series:
+            mat = np.stack(v.to_numpy()).astype(np.float64)
+            w = np.trunc(mat * 1e6).astype(np.int64)  # exact in any engine
+            proj = np.tensordot(w, signs, axes=([1], [2]))  # (n, L, P) int64
+            codes = ((proj > 0) * weights).sum(axis=2).astype(np.int64)
+            return pd.Series(list(codes))
+
+    elif hash_fn == "gaussian":
+        rng = np.random.default_rng(0xB10B)  # fixed planes: deterministic sketch
+        planes = rng.standard_normal((tables, lsh_planes, dim))
+
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def sketch_all(v: pd.Series) -> pd.Series:
+            mat = np.stack(v.to_numpy())  # (n, dim)
+            # (n, L, P) signs in one tensordot, then pack per table
+            proj = np.tensordot(mat, planes, axes=([1], [2]))  # (n, L, P)
+            codes = ((proj > 0) * weights).sum(axis=2).astype(np.int64)  # (n, L)
+            return pd.Series(list(codes))
+
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r} (expected 'gaussian' or 'md5')")
+
+    # double-cast once: the sketch quantizes from float64 and the verify
+    # cosine runs in double — bit-compatible with a DOUBLE[] SQL twin
+    vecs = embs.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
     s = (
         vecs.withColumn("sk", sketch_all("v"))
         .select("id", F.posexplode("sk").alias("tbl", "bucket"))

@@ -235,6 +235,53 @@ class TestDedup:
         recall = len(got & truth) / len(truth)
         assert recall >= 0.95, recall
 
+    def test_embedding_near_dups_md5_matches_local_twin(self, spark, sf_dir):
+        """The md5-Rademacher oracle variant must equal a from-first-
+        principles local twin: identical bucket codes (integer-quantized
+        projections are exact), identical candidate set, identical
+        rounded-double cosine verification — the exactness contract the
+        DuckDB oracle (`emb_near_dups`) relies on."""
+        import hashlib
+
+        P, L, th = 6, 8, 0.4
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        rows = embs.select("vec_id", "embedding").collect()
+        ids = np.array([r["vec_id"] for r in rows])
+        mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+        dim = mat.shape[1]
+        signs = np.empty((L, P, dim), dtype=np.int64)
+        for t in range(L):
+            for p in range(P):
+                for i in range(dim):
+                    nib = hashlib.md5(f"{t}_{p}_{i}".encode()).hexdigest()[0]
+                    signs[t, p, i] = 1 if int(nib, 16) % 2 else -1
+        w = np.trunc(mat * 1e6).astype(np.int64)
+        proj = np.tensordot(w, signs, axes=([1], [2]))
+        codes = ((proj > 0) * (1 << np.arange(P))).sum(axis=2)
+        from collections import defaultdict
+
+        buck = defaultdict(list)
+        for j in range(len(ids)):
+            for t in range(L):
+                buck[(t, codes[j, t])].append(j)
+        norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        want = set()
+        for v in buck.values():
+            for a in range(len(v)):
+                for b in range(a + 1, len(v)):
+                    x, y = sorted((int(ids[v[a]]), int(ids[v[b]])))
+                    c = round(float(norm[v[a]] @ norm[v[b]]), 6)
+                    if c >= th:
+                        want.add((x, y, c))
+        got = {
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in embedding_near_dups(
+                embs, threshold=th, lsh_planes=P, tables=L, hash_fn="md5"
+            ).collect()
+        }
+        assert got == want
+        assert len(got) > 0  # sf0.001 yields collisions above 0.4
+
 
 class TestSimilarity:
     @pytest.fixture(scope="class")
