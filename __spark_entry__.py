@@ -314,6 +314,14 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (dup-bigram fraction, top-2/3-gram
+    character fractions) — zero-shuffle in-row aggregates, exact twin."""
+    from biobloom_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for query vectors vec_id<5 (ANN baseline)."""
     from biobloom_spark.operators.similarity import brute_force_topk
@@ -449,6 +457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_error_bounds": q_sketch_error_bounds,
         "domain_skew_metrics": q_domain_skew_metrics,
         "doc_quality": q_doc_quality,
+        "repetition_stats": q_repetition_stats,
         "embedding_topk": q_embedding_topk,
         "ivf_topk": q_ivf_topk,
         "doc_fingerprints": q_doc_fingerprints,
@@ -633,6 +642,47 @@ def oracle_sql() -> dict[str, str]:
                          * (1.0 - LEAST(punct_ratio * 4, 1.0))
                          * LEAST(type_token_ratio * 2, 1.0), 6) AS quality
             FROM r
+        """,
+        "repetition_stats": f"""
+            WITH toks AS (
+              SELECT doc_id, text, {_TOKS} AS t FROM documents
+            ), grams AS (
+              SELECT doc_id, 2 AS n, array_to_string(t[i:i+1], ' ') AS g
+              FROM toks, UNNEST(generate_series(1, GREATEST(0, len(t) - 1))) AS u(i)
+              UNION ALL
+              SELECT doc_id, 3 AS n, array_to_string(t[i:i+2], ' ') AS g
+              FROM toks, UNNEST(generate_series(1, GREATEST(0, len(t) - 2))) AS u(i)
+            ), counted AS (
+              SELECT doc_id, n, g, COUNT(*) AS cnt,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                                        ORDER BY COUNT(*) DESC, g ASC) AS rn
+              FROM grams GROUP BY doc_id, n, g
+            ), top2 AS (
+              SELECT doc_id, g, cnt FROM counted WHERE n = 2 AND rn = 1
+            ), top3 AS (
+              SELECT doc_id, g, cnt FROM counted WHERE n = 3 AND rn = 1
+            ), dup2 AS (
+              SELECT doc_id, SUM(cnt) AS n_bi, COUNT(*) AS n_bi_distinct
+              FROM counted WHERE n = 2 GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   len(t.t) AS n_tokens,
+                   ROUND(COALESCE(dup2.n_bi - dup2.n_bi_distinct, 0)
+                         / CAST(GREATEST(COALESCE(dup2.n_bi, 0), 1) AS DOUBLE), 6)
+                     AS dup_bigram_frac,
+                   COALESCE(top2.g, '') AS top_bigram,
+                   CAST(COALESCE(top2.cnt, 0) AS BIGINT) AS top_bigram_cnt,
+                   ROUND(COALESCE(top2.cnt * length(top2.g), 0)
+                         / CAST(GREATEST(length(d.text), 1) AS DOUBLE), 6)
+                     AS top_bigram_char_frac,
+                   ROUND(COALESCE(top3.cnt * length(top3.g), 0)
+                         / CAST(GREATEST(length(d.text), 1) AS DOUBLE), 6)
+                     AS top_trigram_char_frac
+            FROM documents d
+            JOIN toks t USING (doc_id)
+            LEFT JOIN top2 USING (doc_id)
+            LEFT JOIN top3 USING (doc_id)
+            LEFT JOIN dup2 USING (doc_id)
         """,
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv

@@ -34,6 +34,7 @@ from biobloom_spark.operators.textstats import (
     doc_fingerprints,
     language_id,
     quality_score,
+    repetition_stats,
     token_stats,
     train_language_profiles,
 )
@@ -355,6 +356,59 @@ class TestTextStats:
         )
         q = {r["doc_id"]: r["quality"] for r in quality_score(df).collect()}
         assert q[1] > q[2] and q[1] > q[3]
+
+    def test_repetition_stats_matches_python(self, spark):
+        from collections import Counter
+
+        texts = [
+            "",                                        # empty
+            "one",                                     # no bigrams
+            "a b",                                     # single bigram
+            "buy buy buy buy buy",                     # one dominant bigram
+            "x y x y x y z",                           # interleaved repeats
+            "b a b a a b",                             # tie between 'a b' and 'b a'
+            "the quick brown fox jumps over the lazy dog",
+            "  padded   whitespace\ttokens  ",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+
+        def ref(text):
+            toks = text.split()
+            out = {"n_tokens": len(toks)}
+            bi = [" ".join(toks[i : i + 2]) for i in range(max(0, len(toks) - 1))]
+            tri = [" ".join(toks[i : i + 3]) for i in range(max(0, len(toks) - 2))]
+            out["dup_bigram_frac"] = round(
+                (len(bi) - len(set(bi))) / max(len(bi), 1), 6
+            )
+            chars = max(len(text), 1)
+            for name, grams in (("bigram", bi), ("trigram", tri)):
+                if grams:
+                    c = Counter(grams)
+                    top = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+                else:
+                    top = ("", 0)
+                if name == "bigram":
+                    out["top_bigram"], out["top_bigram_cnt"] = top
+                out[f"top_{name}_char_frac"] = round(top[1] * len(top[0]) / chars, 6)
+            return out
+
+        for i, t in enumerate(texts):
+            exp = ref(t)
+            for k, v in exp.items():
+                g = got[i][k]
+                if isinstance(v, float):
+                    assert abs(g - v) < 1e-9, (i, k, g, v)
+                else:
+                    assert g == v, (i, k, g, v)
+
+    def test_repetition_stats_plan_is_shuffle_free(self, spark):
+        from biobloom_spark.plans import assert_no_shuffle
+
+        df = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+        assert_no_shuffle(repetition_stats(df), "repetition_stats")
 
     def test_fingerprints_stable_and_containment(self, spark, dup_docs):
         fp = {r["doc_id"]: tuple(r["fingerprint"]) for r in doc_fingerprints(dup_docs).collect()}
