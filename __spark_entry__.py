@@ -322,6 +322,32 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_docs(spark, sf_dir))
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anonymization pass over deterministically planted PII (the corpus
+    text itself is PII-free, so each doc gets a doc_id-derived email / IP /
+    phone appended in BOTH the Spark query and the SQL twin — the same
+    plant-then-verify trick as the language-ID oracle).  Counts + md5 of
+    the scrubbed text are exact."""
+    from biobloom_spark.operators.textstats import pii_scrub
+
+    d = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex.org ip 10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0.1 tel 555-000-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    )
+    return pii_scrub(d).select(
+        "doc_id", "pii_emails", "pii_ips", "pii_phones",
+        F.md5("text_scrubbed").alias("scrub_md5"),
+    )
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for query vectors vec_id<5 (ANN baseline)."""
     from biobloom_spark.operators.similarity import brute_force_topk
@@ -458,6 +484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_skew_metrics": q_domain_skew_metrics,
         "doc_quality": q_doc_quality,
         "repetition_stats": q_repetition_stats,
+        "pii_scrub": q_pii_scrub,
         "embedding_topk": q_embedding_topk,
         "ivf_topk": q_ivf_topk,
         "doc_fingerprints": q_doc_fingerprints,
@@ -483,8 +510,39 @@ WITH toks AS (
 """
 
 
+def _pii_oracle_sql() -> str:
+    """Staged regexp twin of ``pii_scrub`` over the same planted text —
+    generated from the operator's own PII_PATTERNS so they cannot drift."""
+    from biobloom_spark.operators.textstats import PII_PATTERNS
+
+    sql = """
+        WITH s0 AS (
+          SELECT doc_id,
+                 text || ' contact u' || CAST(doc_id AS VARCHAR)
+                      || '@ex.org ip 10.' || CAST(doc_id % 200 AS VARCHAR)
+                      || '.0.1 tel 555-000-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+          FROM documents
+        )"""
+    carry: list[str] = []
+    for i, (name, pat, tok) in enumerate(PII_PATTERNS, 1):
+        cols = (", ".join(carry) + ",") if carry else ""
+        sql += f""", s{i} AS (
+          SELECT doc_id, {cols}
+                 len(regexp_extract_all(t, '{pat}')) AS pii_{name}s,
+                 regexp_replace(t, '{pat}', '{tok}', 'g') AS t
+          FROM s{i - 1}
+        )"""
+        carry.append(f"pii_{name}s")
+    return sql + f"""
+        SELECT doc_id, {", ".join(carry)}, md5(t) AS scrub_md5
+        FROM s{len(PII_PATTERNS)}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "pii_scrub": _pii_oracle_sql(),
         "sizing_prepass": f"""
             SELECT lang,
                    CAST(count(*) AS BIGINT) AS docs,

@@ -21,6 +21,7 @@ __all__ = [
     "token_stats",
     "quality_score",
     "repetition_stats",
+    "pii_scrub",
     "doc_fingerprints",
     "train_language_profiles",
     "language_id",
@@ -88,6 +89,38 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "quality",
         F.round(len_term * alpha_term * digit_term * punct_term * ttr_term, 6),
     )
+
+
+#: PII patterns, ASCII-only and lookaround-free so Java regex (Spark) and
+#: RE2 (DuckDB oracle) match identically.  Applied in this order; the
+#: replacement tokens contain no digits/@ so a later pattern can never
+#: match inside an earlier substitution.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b", "<PHONE>"),
+)
+
+
+def pii_scrub(
+    docs: DataFrame, text_col: str = "text", out_col: str = "text_scrubbed"
+) -> DataFrame:
+    """Redact emails / IPv4s / simple phone numbers, with per-doc counts —
+    the anonymization pass of a web-text curation pipeline (Dolma/FineWeb
+    style; no bcgsc/biobloom counterpart).
+
+    Pure JVM ``regexp_replace``/``regexp_extract_all`` chain, zero shuffle,
+    whole-stage-codegen — the 100-TB shape is a map-only scan.  Counts are
+    taken per stage on the partially-scrubbed string (matching the
+    sequential-replacement semantics exactly), so the operator is
+    deterministic and SQL-oracle-checkable with the same patterns.
+    """
+    cur = F.col(text_col)
+    counts = {}
+    for name, pat, tok in PII_PATTERNS:
+        counts[f"pii_{name}s"] = F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+        cur = F.regexp_replace(cur, pat, tok)
+    return docs.withColumns({**counts, out_col: cur})
 
 
 def _ngrams_col(toks, n: int):

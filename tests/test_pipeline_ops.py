@@ -410,6 +410,39 @@ class TestTextStats:
         df = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
         assert_no_shuffle(repetition_stats(df), "repetition_stats")
 
+    def test_pii_scrub_matches_python(self, spark):
+        import re
+
+        from biobloom_spark.operators.textstats import PII_PATTERNS, pii_scrub
+
+        texts = [
+            "contact a.b+c@mail-host.org or 10.0.0.255 now",
+            "call 555-867-5309 or 555.867.5309; ip 999.1.2.3",
+            "no pii here",
+            "double jane@x.io john@y.co 1.2.3.4 1.2.3.4",
+            "not-an-ip 1.2.3 phone 12-345-6789",
+            "",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r.asDict() for r in pii_scrub(df).collect()}
+        for i, t in enumerate(texts):
+            cur = t
+            for name, pat, tok in PII_PATTERNS:
+                assert got[i][f"pii_{name}s"] == len(re.findall(pat, cur)), (i, name)
+                cur = re.sub(pat, tok, cur)
+            assert got[i]["text_scrubbed"] == cur, (i, got[i]["text_scrubbed"], cur)
+        assert "@" not in got[0]["text_scrubbed"]
+        assert got[3]["pii_emails"] == 2 and got[3]["pii_ips"] == 2
+
+    def test_pii_scrub_plan_is_shuffle_free(self, spark):
+        from biobloom_spark.operators.textstats import pii_scrub
+        from biobloom_spark.plans import assert_no_shuffle
+
+        df = spark.createDataFrame([(1, "a@b.co")], "doc_id long, text string")
+        assert_no_shuffle(pii_scrub(df), "pii_scrub")
+
     def test_fingerprints_stable_and_containment(self, spark, dup_docs):
         fp = {r["doc_id"]: tuple(r["fingerprint"]) for r in doc_fingerprints(dup_docs).collect()}
         assert fp[0] == fp[60]
