@@ -304,6 +304,17 @@ def q_sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_by_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone sketch library audit: per-key exact counters + one
+    boolean per sketch asserting the published error bound holds for the
+    ``sketch_by_key`` result (HLL 3-sigma, CMS hard bound, KLL/t-digest
+    rank error).  Exact columns twin directly; booleans twin as ``true``,
+    so any sketch drifting out of bound fails the value-hash gate."""
+    from biobloom_spark.operators.sketch_agg import sketch_bounds_report
+
+    return sketch_bounds_report(spark, _docs(spark, sf_dir), key_col="lang")
+
+
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality features + composite score (pure arithmetic)."""
     from biobloom_spark.operators.textstats import quality_score
@@ -483,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_error_bounds": q_sketch_error_bounds,
         "domain_skew_metrics": q_domain_skew_metrics,
         "doc_quality": q_doc_quality,
+        "sketch_by_key_stats": q_sketch_by_key_stats,
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
         "embedding_topk": q_embedding_topk,
@@ -543,6 +555,23 @@ def _pii_oracle_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "pii_scrub": _pii_oracle_sql(),
+        "sketch_by_key_stats": f"""
+            WITH toks AS (
+              SELECT lang AS key, {_TOKS} AS t
+              FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL
+            ), agg AS (
+              SELECT key, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(len(t)) AS BIGINT) AS n_tokens
+              FROM toks GROUP BY key
+            ), d AS (
+              SELECT key, CAST(count(DISTINCT tok) AS BIGINT) AS distinct_tokens
+              FROM (SELECT key, UNNEST(t) AS tok FROM toks) GROUP BY key
+            )
+            SELECT key, n_docs, n_tokens, distinct_tokens,
+                   true AS hll_ok, true AS cms_ok,
+                   true AS kll_ok, true AS tdigest_ok
+            FROM agg JOIN d USING (key)
+        """,
         "sizing_prepass": f"""
             SELECT lang,
                    CAST(count(*) AS BIGINT) AS docs,

@@ -1,0 +1,144 @@
+"""Standalone sketch-aggregation surface (operators/sketch_agg.py).
+
+Pins the library contract the north rule names: mergeable per-key
+HLL/CMS/KLL/t-digest UDAFs whose results are independent of partitioning
+(bit-identical for the exact-merge sketches, inside the published bound
+for the order-sensitive quantile sketches).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from biobloom_spark.operators.sketch_agg import (
+    cms_token_counts,
+    merge_sketch_rows,
+    sketch_bounds_report,
+    sketch_by_key,
+    sketch_estimates,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    from biobloom_spark.corpus import generate_corpus
+
+    return generate_corpus(
+        spark, 2000, seed=31, langs=("en", "de", "fr"), num_partitions=8
+    ).cache()
+
+
+def _rows(df):
+    return {r["key"]: r for r in df.collect()}
+
+
+class TestSketchByKey:
+    def test_partition_invariance(self, spark, corpus):
+        a = _rows(sketch_by_key(corpus.repartition(1), key_col="lang"))
+        b = _rows(sketch_by_key(corpus.repartition(7), key_col="lang"))
+        assert a.keys() == b.keys()
+        for k in a:
+            # exact-merge sketches: bit-identical across partitionings
+            assert bytes(a[k]["hll"]) == bytes(b[k]["hll"])
+            assert bytes(a[k]["cms"]) == bytes(b[k]["cms"])
+            assert a[k]["n_docs"] == b[k]["n_docs"]
+            assert a[k]["n_tokens"] == b[k]["n_tokens"]
+
+    def test_counters_exact(self, spark, corpus):
+        got = _rows(sketch_by_key(corpus, key_col="lang"))
+        exact = {
+            r["lang"]: r
+            for r in corpus.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("n_tokens"),
+            )
+            .collect()
+        }
+        for k, r in got.items():
+            assert r["n_docs"] == exact[k]["n_docs"]
+            assert r["n_tokens"] == exact[k]["n_tokens"]
+
+    def test_merge_rows_equals_one_shot(self, spark, corpus):
+        whole = _rows(sketch_by_key(corpus, key_col="lang"))
+        half = F.pmod(F.xxhash64("url"), F.lit(2))
+        h1 = sketch_by_key(corpus.filter(half == 0), key_col="lang")
+        h2 = sketch_by_key(corpus.filter(half == 1), key_col="lang")
+        merged = _rows(merge_sketch_rows(h1, h2))
+        for k in whole:
+            assert bytes(merged[k]["hll"]) == bytes(whole[k]["hll"])
+            assert bytes(merged[k]["cms"]) == bytes(whole[k]["cms"])
+            assert merged[k]["n_docs"] == whole[k]["n_docs"]
+            assert merged[k]["n_tokens"] == whole[k]["n_tokens"]
+
+    def test_estimates_within_bounds(self, spark, corpus):
+        from biobloom_spark.operators.maker import _HLL_P
+        from biobloom_spark.sources.tables import tokens_col
+
+        est = _rows(
+            sketch_estimates(sketch_by_key(corpus, key_col="lang")).withColumnRenamed(
+                "key", "key"
+            )
+        )
+        exact_d = {
+            r["key"]: int(r["d"])
+            for r in corpus.select(
+                F.col("lang").alias("key"), F.explode(tokens_col("text")).alias("t")
+            )
+            .groupBy("key")
+            .agg(F.countDistinct("t").alias("d"))
+            .collect()
+        }
+        tol = 3 * 1.04 / math.sqrt(2**_HLL_P)
+        for k, r in est.items():
+            assert abs(r["distinct_hll"] - exact_d[k]) <= tol * exact_d[k]
+            # quantiles are monotone and inside the observed length range
+            qs = r["len_q_kll"]
+            assert qs == sorted(qs)
+
+    def test_cms_never_undercounts(self, spark, corpus):
+        from biobloom_spark.sources.tables import tokens_col
+
+        tok = corpus.select(
+            F.col("lang").alias("key"), F.explode(tokens_col("text")).alias("t")
+        )
+        true = {
+            (r["key"], r["t"]): int(r["c"])
+            for r in tok.groupBy("key", "t").agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+        probe = sorted({t for (_k, t) in true})[:10]
+        rows = cms_token_counts(sketch_by_key(corpus, key_col="lang"), probe).collect()
+        assert rows
+        for r in rows:
+            assert r["est_count"] >= true.get((r["key"], r["token"]), 0)
+
+    def test_bounds_report_all_green(self, spark, corpus):
+        rep = sketch_bounds_report(spark, corpus, key_col="lang").collect()
+        assert len(rep) == 3
+        for r in rep:
+            assert r["hll_ok"] and r["cms_ok"] and r["kll_ok"] and r["tdigest_ok"], r
+
+    def test_shingle_domain_differs(self, spark, corpus):
+        t = _rows(sketch_by_key(corpus, key_col="lang", distinct="tokens"))
+        s = _rows(sketch_by_key(corpus, key_col="lang", distinct="shingles"))
+        # shingle space is far larger than the zipfian token vocabulary
+        from biobloom_spark.operators.maker import _HLL_P
+        from biobloom_spark.sketch import HLLSketch
+
+        for k in t:
+            dt = HLLSketch.deserialize(bytes(t[k]["hll"]), p=_HLL_P).estimate()
+            ds = HLLSketch.deserialize(bytes(s[k]["hll"]), p=_HLL_P).estimate()
+            assert ds > dt
+
+    def test_null_rows_dropped(self, spark):
+        df = spark.createDataFrame(
+            [("en", "a b c"), (None, "x"), ("en", None)],
+            "lang string, text string",
+        )
+        got = _rows(sketch_by_key(df, key_col="lang"))
+        assert list(got) == ["en"]
+        assert got["en"]["n_docs"] == 1 and got["en"]["n_tokens"] == 3
