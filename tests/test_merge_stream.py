@@ -208,3 +208,41 @@ class TestBuildStream:
         os.remove(os.path.join(reg_path, "v=2", "_SUCCESS"))  # simulate kill
         os.makedirs(os.path.join(reg_path, "not-a-version"))
         assert latest_version(spark, reg_path) == 0
+
+
+class TestSketchStream:
+    def test_stream_matches_batch_sketches(self, spark, tmp_path, corpus):
+        """Chopping invariance for the standalone sketch surface: folding
+        micro-batches reproduces the one-shot aggregation (bit-identical
+        HLL/CMS, exact counters)."""
+        from biobloom_spark.operators.sketch_agg import sketch_by_key
+        from biobloom_spark.streaming.categorize_stream import (
+            stream_from_parquet_dir,
+        )
+        from biobloom_spark.streaming.sketch_stream import (
+            load_latest_sketch_rows,
+            sketch_stream_writer,
+        )
+
+        src = str(tmp_path / "sdrop")
+        corpus.repartition(3).write.mode("overwrite").parquet(src)
+        sk_path = str(tmp_path / "sketches")
+        stream = stream_from_parquet_dir(spark, src, max_files_per_trigger=1)
+        q = (
+            sketch_stream_writer(spark, stream, sk_path)
+            .option("checkpointLocation", str(tmp_path / "sckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+        merged = {
+            r["key"]: r for r in load_latest_sketch_rows(spark, sk_path).collect()
+        }
+        full = {r["key"]: r for r in sketch_by_key(corpus, key_col="lang").collect()}
+        assert merged.keys() == full.keys()
+        for k in full:
+            assert bytes(merged[k]["hll"]) == bytes(full[k]["hll"])
+            assert bytes(merged[k]["cms"]) == bytes(full[k]["cms"])
+            assert merged[k]["n_docs"] == full[k]["n_docs"]
+            assert merged[k]["n_tokens"] == full[k]["n_tokens"]
