@@ -333,6 +333,36 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_docs(spark, sf_dir))
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL recrawl dedup over planted URL variants: every group
+    of three docs carries one URL in three cosmetic disguises (case +
+    default port + trailing slash + utm/gclid params + fragment); the
+    oracle states the expected canonical form and survivor in closed form,
+    so normalization is verified without re-implementing it in SQL."""
+    from biobloom_spark.operators.urls import url_dedup
+
+    g = F.expr("doc_id div 3").cast("string")
+    base = F.concat(F.lit("http://site"), g, F.lit(".example.com/path"), g)
+    v = F.col("doc_id") % 3
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(v == 0, base)
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("HTTP://Site"), g, F.lit(".EXAMPLE.com:80/path"), g,
+                F.lit("/?utm_source=x"),
+            ),
+        )
+        .otherwise(F.concat(base, F.lit("?gclid=1#frag")))
+        .alias("url"),
+        F.col("doc_id").alias("ts"),
+    )
+    return url_dedup(planted, url_col="url", ts_col="ts").select(
+        "canonical_url", "doc_id"
+    )
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anonymization pass over deterministically planted PII (the corpus
     text itself is PII-free, so each doc gets a doc_id-derived email / IP /
@@ -497,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_by_key_stats": q_sketch_by_key_stats,
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
+        "url_dedup": q_url_dedup,
         "embedding_topk": q_embedding_topk,
         "ivf_topk": q_ivf_topk,
         "doc_fingerprints": q_doc_fingerprints,
@@ -555,6 +586,13 @@ def _pii_oracle_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "pii_scrub": _pii_oracle_sql(),
+        "url_dedup": """
+            SELECT 'http://site' || CAST(doc_id // 3 AS VARCHAR)
+                   || '.example.com/path' || CAST(doc_id // 3 AS VARCHAR)
+                     AS canonical_url,
+                   CAST(MAX(doc_id) AS BIGINT) AS doc_id
+            FROM documents GROUP BY doc_id // 3
+        """,
         "sketch_by_key_stats": f"""
             WITH toks AS (
               SELECT lang AS key, {_TOKS} AS t

@@ -81,7 +81,9 @@ def snapshot_dedup(
     """
     tiebreak_col = tiebreak_col or ts_col
     payload = [c for c in docs.columns if c != key_col]
-    ordered = [ts_col, tiebreak_col] + [
+    # dedupe: tiebreak defaulting to ts_col must not repeat the field in
+    # the struct (a duplicate name makes `__top.<ts>` ambiguous at select)
+    ordered = ([ts_col] if tiebreak_col == ts_col else [ts_col, tiebreak_col]) + [
         c for c in payload if c not in (ts_col, tiebreak_col)
     ]
     top = docs.groupBy(key_col).agg(

@@ -1,0 +1,89 @@
+"""URL canonicalization + canonical-URL dedup (operators/urls.py)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from biobloom_spark.operators.urls import TRACKING_PARAM_RE, normalize_url, url_dedup
+
+
+def _py_normalize(url: str) -> str:
+    u = re.sub(r"#.*$", "", url.strip())
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", u)
+    if not m:
+        return url.strip()
+    scheme = m.group(1).lower()
+    hm = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", u)
+    host = hm.group(1).lower() if hm else ""
+    if scheme == "http" and host.endswith(":80"):
+        host = host[:-3]
+    elif scheme == "https" and host.endswith(":443"):
+        host = host[:-4]
+    rest = re.sub(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+", "", u)
+    path = re.sub(r"/+$", "", rest.split("?", 1)[0])
+    query = rest.split("?", 1)[1] if "?" in rest else ""
+    kept = sorted(
+        p for p in query.split("&") if p != "" and not re.match(TRACKING_PARAM_RE, p)
+    )
+    qpart = "?" + "&".join(kept) if kept else ""
+    return f"{scheme}://{host}{path}{qpart}"
+
+
+URLS = [
+    "HTTP://Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag",
+    "http://example.com/a/b?a=1&b=2",
+    "https://Example.com:443/",
+    "https://example.com",
+    "https://example.com:8443/x/",
+    "  http://example.com/x?fbclid=abc  ",
+    "http://example.com/x",
+    "not a url at all",
+    "ftp://Mixed.Case/Path/",
+    "http://example.com/?gclid=1&utm_campaign=2",
+    "http://example.com/search?q=a%20b&ref=nav&z=9",
+]
+
+
+class TestNormalizeUrl:
+    def test_matches_python_reference(self, spark):
+        df = spark.createDataFrame([(i, u) for i, u in enumerate(URLS)], "i long, url string")
+        got = {
+            r["i"]: r["canon"]
+            for r in df.select("i", normalize_url("url").alias("canon")).collect()
+        }
+        for i, u in enumerate(URLS):
+            assert got[i] == _py_normalize(u), (u, got[i], _py_normalize(u))
+
+    def test_equivalent_urls_collapse(self, spark):
+        dupes = [
+            "HTTP://Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag",
+            "http://example.com/a/b?a=1&b=2",
+            "http://example.com/a/b/?b=2&a=1",
+        ]
+        df = spark.createDataFrame([(u,) for u in dupes], "url string")
+        assert df.select(normalize_url("url").alias("c")).distinct().count() == 1
+
+    def test_plan_is_shuffle_free(self, spark):
+        from biobloom_spark.plans import assert_no_shuffle
+
+        df = spark.createDataFrame([("http://a.co/x",)], "url string")
+        assert_no_shuffle(df.select(normalize_url("url")), "normalize_url")
+
+
+class TestUrlDedup:
+    def test_keeps_newest_per_canonical(self, spark):
+        from datetime import datetime
+
+        rows = [
+            ("HTTP://A.com/p/?utm_source=1", datetime(2024, 1, 1), "old"),
+            ("http://a.com/p", datetime(2024, 6, 1), "new"),
+            ("http://b.com/q", datetime(2024, 1, 1), "only"),
+        ]
+        df = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+        out = {r["canonical_url"]: r for r in url_dedup(df).collect()}
+        assert len(out) == 2
+        assert out["http://a.com/p"]["text"] == "new"
+        assert out["http://b.com/q"]["text"] == "only"
