@@ -87,3 +87,36 @@ class TestUrlDedup:
         assert len(out) == 2
         assert out["http://a.com/p"]["text"] == "new"
         assert out["http://b.com/q"]["text"] == "only"
+
+
+class TestNormalizeUrlFuzz:
+    def test_random_urls_match_python_reference(self, spark):
+        """300 structured-random URLs (every rule's trigger randomized
+        independently) in ONE Spark job vs the pure-Python reference."""
+        import random
+
+        rng = random.Random(0)
+        schemes = ["http", "HTTP", "https", "HtTpS", "ftp", ""]
+        hosts = ["Example.COM", "a.b.c", "X.org:80", "x.org:443", "y.io:8080"]
+        paths = ["", "/", "/A/b", "/a/b/", "/a//", "/%7Euser"]
+        params = ["a=1", "utm_source=x", "B=2", "gclid=z", "ref=nav", "q=a%20b", ""]
+        frags = ["", "#f", "#a/b?c=1"]
+        urls = []
+        for _ in range(300):
+            s = rng.choice(schemes)
+            pre = f"{s}://" if s else ""
+            q = "&".join(rng.sample(params, rng.randint(0, 4)))
+            urls.append(
+                f"{' ' * rng.randint(0, 2)}{pre}{rng.choice(hosts)}"
+                f"{rng.choice(paths)}{'?' + q if q else ''}{rng.choice(frags)}"
+                f"{' ' * rng.randint(0, 2)}"
+            )
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls)], "i long, url string"
+        )
+        got = {
+            r["i"]: r["c"]
+            for r in df.select("i", normalize_url("url").alias("c")).collect()
+        }
+        for i, u in enumerate(urls):
+            assert got[i] == _py_normalize(u), (repr(u), got[i], _py_normalize(u))
