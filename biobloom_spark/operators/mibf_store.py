@@ -335,7 +335,10 @@ def build_mibf_store(
             .applyInPandas(finalize, schema=_FINAL_SEG_SCHEMA)
         )
         final.write.mode("overwrite").parquet(seg_path)
-        _delete_dir(spark, resolved_path)
+    # idempotent cleanup OUTSIDE the build branch: a kill between the
+    # segments commit and this delete leaves an orphaned resolved/ dir
+    # that the have_segments resume path would otherwise never reap
+    _delete_dir(spark, resolved_path)
 
     # O(S) rows of O(L) stats — the only thing the driver aggregates
     stat_rows = (
