@@ -10,12 +10,28 @@ quantiles (KLL + t-digest), all built as mergeable partials.
 
 Shape (the UDAF pattern used everywhere in this engine):
 
-1. ``mapInPandas`` partials — each Arrow batch groups by key locally and
-   emits one sketch-row per (batch, key).  Zero shuffle; the corpus is
-   read once and never leaves its partitions.
-2. ``groupBy(key).applyInPandas`` merge — only sketch-sized rows ride the
-   single shuffle (HLL 2^p registers, CMS w*d counters, KLL/TD compactor
-   state: KBs per key against a corpus of any size).
+1. ``mapInPandas`` partials — each task accumulates per-key sketch state
+   across its *whole* batch iterator (the ``maker._build_partition_fn``
+   pattern) and emits exactly one sketch-row per (partition, key).  Zero
+   shuffle; the corpus is read once and never leaves its partitions, and
+   the partial count is O(partitions x keys) — independent of corpus
+   rows, so a hot key's merge group does NOT grow with corpus size.
+2. Salted two-level ``applyInPandas`` merge — partials carry a
+   deterministic ``salt = partition_id % fanout`` (fanout ~
+   sqrt(n_partitions) by default), so level 1 merges ``(key, salt)``
+   groups of <= n_partitions/fanout rows and level 2 merges the fanout
+   survivors per key.  No single reducer ever receives more than
+   ~sqrt(n_partitions) sketch rows for any key, however skewed the key
+   distribution.  Only sketch-sized rows ride either exchange (HLL 2^p
+   registers, CMS w*d counters, KLL/TD compactor state: KBs per key
+   against a corpus of any size).
+
+Memory note: a task holds one sketch set (~hundreds of KB at the default
+parameters) per distinct key it sees.  For low-cardinality keys (lang,
+bucket) this is trivial; for very high-cardinality keys (url host),
+pre-repartition the corpus by the key so each task sees ~total_keys /
+n_partitions of them — that trades one corpus shuffle for bounded task
+state and single-row merge groups.
 
 Merges are the sketches' own published rules (register max, counter add,
 compactor concat, centroid merge), so the result is independent of
@@ -59,6 +75,12 @@ SKETCH_ROW_SCHEMA = T.StructType(
 
 _COLS = [f.name for f in SKETCH_ROW_SCHEMA.fields]
 
+# partials carry a deterministic merge salt (see module docstring)
+_PARTIAL_SCHEMA = T.StructType(
+    [SKETCH_ROW_SCHEMA.fields[0], T.StructField("salt", T.IntegerType(), False)]
+    + SKETCH_ROW_SCHEMA.fields[1:]
+)
+
 
 def _sketch_params():
     # single source of truth: the registry companions' parameters
@@ -73,12 +95,74 @@ def _new(p, w, d):
     return HLLSketch(p=p), CountMinSketch(width=w, depth=d), KLLSketch(), TDigestSketch()
 
 
+def _partials_df(
+    docs: DataFrame,
+    key_col: str,
+    text_col: str,
+    distinct: str,
+    shingle_w: int,
+    fanout: int,
+) -> DataFrame:
+    """The zero-shuffle partial stage of ``sketch_by_key``: one sketch-row
+    per (input partition, key), tagged with ``salt = partition_id %
+    fanout`` for the two-level merge.  Exposed separately so tests can pin
+    the O(partitions x keys) partial-count contract directly."""
+    p, cw, cd = _sketch_params()
+    from ..functions.text import batch_doc_shingles
+
+    sel = docs.filter(
+        F.col(key_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(F.col(key_col).cast("string").alias("__key"), F.col(text_col).alias("__text"))
+
+    def partials(batches):
+        from pyspark import TaskContext
+
+        cache: dict = {}
+        acc: dict[str, list] = {}  # key -> [hll, cms, kll, td, n_docs, n_tokens]
+        for pdf in batches:
+            for key, g in pdf.groupby("__key", sort=False):
+                st = acc.get(key)
+                if st is None:
+                    hll, cms, kll, td = _new(p, cw, cd)
+                    st = acc[key] = [hll, cms, kll, td, 0, 0]
+                texts = g["__text"].to_numpy()
+                frames, _offs, tok_h, tok_c = batch_doc_shingles(
+                    texts, shingle_w, cache
+                )
+                st[0].update_batch(frames if distinct == "shingles" else tok_h)
+                st[1].update_batch(tok_h)
+                lens = tok_c.astype(np.float64)
+                st[2].update_batch(lens)
+                st[3].update_batch(lens)
+                st[4] += len(g)
+                st[5] += int(tok_c.sum())
+        if not acc:
+            return
+        ctx = TaskContext.get()
+        salt = (int(ctx.partitionId()) if ctx is not None else 0) % fanout
+        yield pd.DataFrame(
+            {
+                "key": [str(k) for k in acc],
+                "salt": np.full(len(acc), salt, dtype=np.int32),
+                "n_docs": [st[4] for st in acc.values()],
+                "n_tokens": [st[5] for st in acc.values()],
+                "hll": [st[0].serialize() for st in acc.values()],
+                "cms": [st[1].serialize() for st in acc.values()],
+                "kll": [st[2].serialize() for st in acc.values()],
+                "tdigest": [st[3].serialize() for st in acc.values()],
+            }
+        )
+
+    return sel.mapInPandas(partials, _PARTIAL_SCHEMA)
+
+
 def sketch_by_key(
     docs: DataFrame,
     key_col: str = "lang",
     text_col: str = "text",
     distinct: str = "tokens",
     shingle_w: int = 3,
+    merge_fanout: int | None = None,
 ) -> DataFrame:
     """One sketch-row per key: (key, n_docs, n_tokens, hll, cms, kll,
     tdigest).
@@ -89,6 +173,13 @@ def sketch_by_key(
     - ``kll`` / ``tdigest``: document-length (token-count) quantiles;
     - ``n_docs`` / ``n_tokens``: exact counters (merge by addition).
 
+    ``merge_fanout`` bounds any single merge task's input to roughly
+    n_partitions / fanout sketch rows via a deterministic two-level salted
+    merge; the default ~sqrt(n_partitions) balances the two levels.  Pass
+    1 to force a single-level merge (small inputs / tests).  HLL and CMS
+    results are bit-identical under every fanout (commutative merges);
+    the quantile sketches stay inside their published bounds.
+
     Null keys/texts are dropped (same contract as ``build_filters``).
     """
     if distinct not in ("tokens", "shingles"):
@@ -96,68 +187,52 @@ def sketch_by_key(
     from ..session import ensure_workers
 
     ensure_workers(docs.sparkSession)
-    p, cw, cd = _sketch_params()
-    from ..functions.text import batch_doc_shingles
+    if merge_fanout is None:
+        import math
 
-    sel = docs.filter(
-        F.col(key_col).isNotNull() & F.col(text_col).isNotNull()
-    ).select(F.col(key_col).cast("string").alias("__key"), F.col(text_col).alias("__text"))
-
-    def partials(batches):
-        cache: dict = {}
-        for pdf in batches:
-            for key, g in pdf.groupby("__key", sort=False):
-                texts = g["__text"].to_numpy()
-                frames, _offs, tok_h, tok_c = batch_doc_shingles(
-                    texts, shingle_w, cache
-                )
-                hll, cms, kll, td = _new(p, cw, cd)
-                hll.update_batch(frames if distinct == "shingles" else tok_h)
-                cms.update_batch(tok_h)
-                lens = tok_c.astype(np.float64)
-                kll.update_batch(lens)
-                td.update_batch(lens)
-                yield pd.DataFrame(
-                    {
-                        "key": [str(key)],
-                        "n_docs": [len(g)],
-                        "n_tokens": [int(tok_c.sum())],
-                        "hll": [hll.serialize()],
-                        "cms": [cms.serialize()],
-                        "kll": [kll.serialize()],
-                        "tdigest": [td.serialize()],
-                    }
-                )
-
-    part = sel.mapInPandas(partials, SKETCH_ROW_SCHEMA)
+        n_parts = docs.rdd.getNumPartitions()
+        merge_fanout = max(1, math.isqrt(max(int(n_parts), 1)))
+    part = _partials_df(docs, key_col, text_col, distinct, shingle_w, merge_fanout)
+    if merge_fanout > 1:
+        part = part.groupBy("key", "salt").applyInPandas(
+            _merge_fn(keep_salt=True), _PARTIAL_SCHEMA
+        )
     return part.groupBy("key").applyInPandas(_merge_fn(), SKETCH_ROW_SCHEMA)
 
 
-def _merge_fn():
+def _merge_fn(keep_salt: bool = False):
     p, cw, cd = _sketch_params()
+    cols = [_COLS[0]] + (["salt"] if keep_salt else []) + _COLS[1:]
 
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         from ..sketch import CountMinSketch, HLLSketch, KLLSketch, TDigestSketch
 
         if len(pdf) == 1:
-            return pdf[_COLS]
-        hll, cms, kll, td = _new(p, cw, cd)
-        for _, r in pdf.iterrows():
-            hll = hll.merge(HLLSketch.deserialize(bytes(r["hll"]), p=p))
-            cms = cms.merge(CountMinSketch.deserialize(bytes(r["cms"]), cw, cd))
-            kll = kll.merge(KLLSketch.deserialize(bytes(r["kll"])))
-            td = td.merge(TDigestSketch.deserialize(bytes(r["tdigest"])))
-        return pd.DataFrame(
-            {
-                "key": [str(key[0])],
-                "n_docs": [int(pdf["n_docs"].sum())],
-                "n_tokens": [int(pdf["n_tokens"].sum())],
-                "hll": [hll.serialize()],
-                "cms": [cms.serialize()],
-                "kll": [kll.serialize()],
-                "tdigest": [td.serialize()],
-            }
-        )
+            return pdf[cols]
+        hll, cms, kll, _td = _new(p, cw, cd)
+        for hb, cb, kb in zip(pdf["hll"], pdf["cms"], pdf["kll"]):
+            hll = hll.merge(HLLSketch.deserialize(bytes(hb), p=p))
+            cms = cms.merge(CountMinSketch.deserialize(bytes(cb), cw, cd))
+            kll = kll.merge(KLLSketch.deserialize(bytes(kb)))
+        # k-way, single-compression t-digest merge (rank error does not
+        # compound with fan-in — see TDigestSketch.merge_all); intermediate
+        # (salted level-1) merges stay at 2x delta, the final per-key merge
+        # compresses to the target delta
+        tds = [TDigestSketch.deserialize(bytes(tb)) for tb in pdf["tdigest"]]
+        tgt = TDigestSketch().delta  # the canonical delta the partials are built at
+        td = TDigestSketch.merge_all(tds, delta=(2.0 * tgt if keep_salt else tgt))
+        out = {
+            "key": [str(key[0])],
+            "n_docs": [int(pdf["n_docs"].sum())],
+            "n_tokens": [int(pdf["n_tokens"].sum())],
+            "hll": [hll.serialize()],
+            "cms": [cms.serialize()],
+            "kll": [kll.serialize()],
+            "tdigest": [td.serialize()],
+        }
+        if keep_salt:
+            out["salt"] = [int(pdf["salt"].iloc[0])]
+        return pd.DataFrame(out)[cols]
 
     return fn
 
@@ -265,6 +340,20 @@ def cms_token_counts(sketch_rows: DataFrame, tokens: list[str]) -> DataFrame:
     return sketch_rows.mapInPandas(q, schema)
 
 
+_REPORT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType(), False),
+        T.StructField("n_docs", T.LongType(), False),
+        T.StructField("n_tokens", T.LongType(), False),
+        T.StructField("distinct_tokens", T.LongType(), False),
+        T.StructField("hll_ok", T.BooleanType(), False),
+        T.StructField("cms_ok", T.BooleanType(), False),
+        T.StructField("kll_ok", T.BooleanType(), False),
+        T.StructField("tdigest_ok", T.BooleanType(), False),
+    ]
+)
+
+
 def sketch_bounds_report(
     spark,
     docs: DataFrame,
@@ -277,86 +366,97 @@ def sketch_bounds_report(
     ``sketch_audit.sketch_error_report`` (same bounds, same tolerances;
     see that module's docstring for the citations).  Exact + boolean
     columns, so the gate oracle is exact counts plus ``true`` per cell.
+
+    Fully distributed: the exact aggregates (distinct count, doc-length
+    histogram, top tokens) are joined to the sketch rows on key and the
+    flags are evaluated where the rows live (mapInPandas), so the audited
+    key space can be arbitrarily large — only the report rows the caller
+    collects ever reach the driver.  (``spark`` is kept in the signature
+    for API stability; the plan is derived from ``docs``.)
     """
     import math
 
-    from ..sketch import CountMinSketch, HLLSketch, KLLSketch, TDigestSketch
-    from ..sketch.hashing import hash_tokens
     from ..sources.tables import tokens_col
     from .sketch_audit import _QS as AUDIT_QS
-    from .sketch_audit import _rank_err
 
     p, cw, cd = _sketch_params()
-    rows = {r["key"]: r for r in sketch_by_key(docs, key_col, text_col).collect()}
+    rows = sketch_by_key(docs, key_col, text_col)
 
     base = docs.filter(
         F.col(key_col).isNotNull() & F.col(text_col).isNotNull()
     ).select(F.col(key_col).cast("string").alias("key"), tokens_col(text_col).alias("toks"))
-    exact_distinct = {
-        r["key"]: int(r["d"])
-        for r in base.select("key", F.explode("toks").alias("t"))
+    tok = base.select("key", F.explode("toks").alias("token"))
+    exact_d = tok.groupBy("key").agg(F.countDistinct("token").alias("exact_distinct"))
+    hist = (
+        base.select("key", F.size("toks").alias("n"))
+        .groupBy("key", "n")
+        .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("key")
-        .agg(F.countDistinct("t").alias("d"))
-        .collect()
-    }
-    hists: dict[str, list[tuple[float, int]]] = {}
-    for r in (
-        base.select("key", F.size("toks").alias("n")).groupBy("key", "n").count().collect()
-    ):
-        hists.setdefault(r["key"], []).append((float(r["n"]), int(r["count"])))
+        .agg(F.collect_list(F.struct("n", "c")).alias("hist"))
+    )
     from pyspark.sql import Window
 
-    tok = base.select("key", F.explode("toks").alias("token"))
     wnd = Window.partitionBy("key").orderBy(F.desc("cnt"), F.asc("token"))
-    top_by_key: dict[str, list[tuple[str, int]]] = {}
-    for r in (
+    top = (
         tok.groupBy("key", "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("rk", F.row_number().over(wnd))
         .filter(F.col("rk") <= top_tokens)
-        .collect()
-    ):
-        top_by_key.setdefault(r["key"], []).append((r["token"], int(r["cnt"])))
+        .groupBy("key")
+        .agg(F.collect_list(F.struct("token", "cnt")).alias("top_toks"))
+    )
+    joined = (
+        rows.join(exact_d, "key", "left").join(hist, "key", "left").join(top, "key", "left")
+    )
 
     hll_tol = 3 * 1.04 / math.sqrt(2**p)
     cms_eps = math.e / cw
     td_tol = 2.0 / 200.0
-    out = []
-    for key in sorted(rows):
-        r = rows[key]
-        hll = HLLSketch.deserialize(bytes(r["hll"]), p=p)
-        cms = CountMinSketch.deserialize(bytes(r["cms"]), cw, cd)
-        kll = KLLSketch.deserialize(bytes(r["kll"]))
-        td = TDigestSketch.deserialize(bytes(r["tdigest"]))
-        exact_d = exact_distinct.get(key, 0)
-        hll_ok = abs(hll.estimate() - exact_d) <= hll_tol * max(exact_d, 1)
-        hist = hists.get(key, [(0.0, 1)])
-        kll_ok = max(_rank_err(hist, kll.quantile(q), q) for q in AUDIT_QS) <= kll.error_bound()
-        td_ok = max(_rank_err(hist, td.quantile(q), q) for q in AUDIT_QS) <= td_tol
-        cms_ok = True
-        n_tok = max(int(r["n_tokens"]), 1)
-        pairs = top_by_key.get(key, [])
-        if pairs:
-            ests = cms.query_batch(
-                np.asarray(hash_tokens([t for t, _ in pairs]), dtype=np.uint64)
-            )
-            for (_t, true_c), e in zip(pairs, ests):
-                if e < true_c or (float(e) - true_c) / n_tok > cms_eps:
-                    cms_ok = False
-        out.append(
-            (key, int(r["n_docs"]), int(r["n_tokens"]), int(exact_d),
-             bool(hll_ok), bool(cms_ok), bool(kll_ok), bool(td_ok))
-        )
-    schema = T.StructType(
-        [
-            T.StructField("key", T.StringType(), False),
-            T.StructField("n_docs", T.LongType(), False),
-            T.StructField("n_tokens", T.LongType(), False),
-            T.StructField("distinct_tokens", T.LongType(), False),
-            T.StructField("hll_ok", T.BooleanType(), False),
-            T.StructField("cms_ok", T.BooleanType(), False),
-            T.StructField("kll_ok", T.BooleanType(), False),
-            T.StructField("tdigest_ok", T.BooleanType(), False),
-        ]
-    )
-    return spark.createDataFrame(out, schema)
+    qs = tuple(AUDIT_QS)
+
+    def audit(batches):
+        from ..sketch import CountMinSketch, HLLSketch, KLLSketch, TDigestSketch
+        from ..sketch.hashing import hash_tokens
+        from .sketch_audit import _rank_err
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                hll = HLLSketch.deserialize(bytes(r.hll), p=p)
+                cms = CountMinSketch.deserialize(bytes(r.cms), cw, cd)
+                kll = KLLSketch.deserialize(bytes(r.kll))
+                td = TDigestSketch.deserialize(bytes(r.tdigest))
+                exact = 0 if r.exact_distinct is None or pd.isna(r.exact_distinct) else int(r.exact_distinct)
+                hll_ok = abs(hll.estimate() - exact) <= hll_tol * max(exact, 1)
+                h = r.hist
+                hist_pairs = (
+                    [(float(e["n"]), int(e["c"])) for e in h]
+                    if h is not None and len(h)
+                    else [(0.0, 1)]
+                )
+                kll_ok = (
+                    max(_rank_err(hist_pairs, kll.quantile(q), q) for q in qs)
+                    <= kll.error_bound()
+                )
+                td_ok = max(_rank_err(hist_pairs, td.quantile(q), q) for q in qs) <= td_tol
+                cms_ok = True
+                n_tok = max(int(r.n_tokens), 1)
+                pairs = (
+                    [(e["token"], int(e["cnt"])) for e in r.top_toks]
+                    if r.top_toks is not None and len(r.top_toks)
+                    else []
+                )
+                if pairs:
+                    ests = cms.query_batch(
+                        np.asarray(hash_tokens([t for t, _ in pairs]), dtype=np.uint64)
+                    )
+                    for (_t, true_c), e in zip(pairs, ests):
+                        if e < true_c or (float(e) - true_c) / n_tok > cms_eps:
+                            cms_ok = False
+                out.append(
+                    (str(r.key), int(r.n_docs), int(r.n_tokens), exact,
+                     bool(hll_ok), bool(cms_ok), bool(kll_ok), bool(td_ok))
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in _REPORT_SCHEMA.fields])
+
+    return joined.mapInPandas(audit, _REPORT_SCHEMA)

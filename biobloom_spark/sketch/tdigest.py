@@ -86,12 +86,32 @@ class TDigestSketch:
     def merge(self, other: "TDigestSketch") -> "TDigestSketch":
         if self.delta != other.delta:
             raise ValueError("cannot merge t-digests with different delta")
-        out = TDigestSketch(
-            delta=self.delta,
-            means=np.concatenate([self.means, other.means]),
-            weights=np.concatenate([self.weights, other.weights]),
-            d_min=min(self.d_min, other.d_min),
-            d_max=max(self.d_max, other.d_max),
+        return TDigestSketch.merge_all([self, other])
+
+    @classmethod
+    def merge_all(cls, digests: list, delta: float | None = None) -> "TDigestSketch":
+        """K-way merge: concatenate every input's centroids and compress
+        ONCE (Dunning & Ertl's merging-digest formulation).  Sequential
+        pairwise merging re-compresses per step and compounds rank error
+        with fan-in; this keeps one compression round per merge level, so
+        a two-level reduction tree costs two rounds total regardless of
+        how many partials feed it.
+
+        ``delta`` sets the output compression; the common pattern for
+        multi-level reductions is to hold intermediate levels at 2x the
+        target delta (halving intermediate compression error) and compress
+        to the target only at the final level.  Default: the smallest
+        input delta."""
+        if not digests:
+            raise ValueError("merge_all needs at least one digest")
+        if delta is None:
+            delta = min(d.delta for d in digests)
+        out = cls(
+            delta=float(delta),
+            means=np.concatenate([d.means for d in digests]),
+            weights=np.concatenate([d.weights for d in digests]),
+            d_min=min(d.d_min for d in digests),
+            d_max=max(d.d_max for d in digests),
         )
         out._compress()
         return out
@@ -103,9 +123,22 @@ class TDigestSketch:
         if self.means.size == 1:
             return float(self.means[0])
         total = self.weights.sum()
-        target = q * total
+        target = min(max(q * total, 0.0), total)
+        cumr = np.cumsum(self.weights)
+        cuml = cumr - self.weights
+        # Tie-aware interior rule (Dunning's convention): a centroid of
+        # weight w covers ranks [left+0.5, right-0.5] at its own mean —
+        # only the half-unit transition zones between adjacent centroids
+        # interpolate.  Returning the mean inside the interior is what
+        # makes heavily tied (discrete) distributions exact: a pure tie
+        # block compresses to one centroid whose mean IS the tied value,
+        # and midpoint interpolation would otherwise leak past the whole
+        # tie mass.
+        j = min(int(np.searchsorted(cumr, target, side="left")), self.means.size - 1)
+        if self.weights[j] > 1 and cuml[j] + 0.5 <= target <= cumr[j] - 0.5:
+            return float(self.means[j])
         # centroid midpoints in cumulative-weight space
-        cum = np.cumsum(self.weights) - self.weights / 2.0
+        cum = cuml + self.weights / 2.0
         if target <= cum[0]:
             return float(self.d_min + (self.means[0] - self.d_min) * max(target, 0) / max(cum[0], 1e-12))
         if target >= cum[-1]:

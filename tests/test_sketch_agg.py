@@ -48,6 +48,50 @@ class TestSketchByKey:
             assert a[k]["n_docs"] == b[k]["n_docs"]
             assert a[k]["n_tokens"] == b[k]["n_tokens"]
 
+    def test_partials_one_row_per_partition_key(self, spark, corpus):
+        """Scale contract (round-5 fix): partial count is O(partitions x
+        keys) — ONE sketch row per (partition, key), accumulated across
+        every Arrow batch of the task — so a hot key's merge group never
+        grows with corpus size.  Forced-tiny Arrow batches would have
+        produced ~40x more rows under the old per-batch emit."""
+        from biobloom_spark.operators.sketch_agg import _partials_df
+
+        old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+        try:
+            eight = corpus.repartition(8)
+            part = _partials_df(eight, "lang", "text", "tokens", 3, fanout=2)
+            rows = part.collect()
+            # <= 8 partitions x 3 langs (== when every partition sees every lang)
+            assert len(rows) <= 8 * 3
+            per = {}
+            for r in rows:
+                per[(r["key"], r["salt"])] = per.get((r["key"], r["salt"]), 0) + 1
+            # fanout=2 -> at most ceil(8/2)=4 partial rows per (key, salt) group
+            assert max(per.values()) <= 4
+            assert {r["salt"] for r in rows} <= {0, 1}
+            # counters survive the accumulation: totals match the corpus
+            n_docs = sum(r["n_docs"] for r in rows)
+            assert n_docs == corpus.filter(F.col("lang").isNotNull()).count()
+        finally:
+            if old is None:
+                spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+            else:
+                spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    def test_fanout_invariance(self, spark, corpus):
+        """HLL/CMS bytes are identical whatever the merge topology
+        (single-level, salted two-level, extreme fanout)."""
+        a = _rows(sketch_by_key(corpus, key_col="lang", merge_fanout=1))
+        b = _rows(sketch_by_key(corpus, key_col="lang", merge_fanout=4))
+        c = _rows(sketch_by_key(corpus.repartition(16), key_col="lang"))
+        assert a.keys() == b.keys() == c.keys()
+        for k in a:
+            assert bytes(a[k]["hll"]) == bytes(b[k]["hll"]) == bytes(c[k]["hll"])
+            assert bytes(a[k]["cms"]) == bytes(b[k]["cms"]) == bytes(c[k]["cms"])
+            assert a[k]["n_docs"] == b[k]["n_docs"] == c[k]["n_docs"]
+            assert a[k]["n_tokens"] == b[k]["n_tokens"] == c[k]["n_tokens"]
+
     def test_counters_exact(self, spark, corpus):
         got = _rows(sketch_by_key(corpus, key_col="lang"))
         exact = {
