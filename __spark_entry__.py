@@ -336,13 +336,14 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-URL recrawl dedup over planted URL variants: every group
     of three docs carries one URL in three cosmetic disguises (case +
-    default port + trailing slash + utm/gclid params + fragment); the
-    oracle states the expected canonical form and survivor in closed form,
-    so normalization is verified without re-implementing it in SQL."""
+    default port + trailing slash + utm/gclid params — valued and bare —
+    + fragment + percent-escape hex case); the oracle states the expected
+    canonical form and survivor in closed form, so normalization is
+    verified without re-implementing it in SQL."""
     from biobloom_spark.operators.urls import url_dedup
 
     g = F.expr("doc_id div 3").cast("string")
-    base = F.concat(F.lit("http://site"), g, F.lit(".example.com/path"), g)
+    base = F.concat(F.lit("http://site"), g, F.lit(".example.com/p%2Fath"), g)
     v = F.col("doc_id") % 3
     planted = _docs(spark, sf_dir).select(
         "doc_id",
@@ -350,11 +351,16 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(
             v == 1,
             F.concat(
-                F.lit("HTTP://Site"), g, F.lit(".EXAMPLE.com:80/path"), g,
+                F.lit("HTTP://Site"), g, F.lit(".EXAMPLE.com:80/p%2fath"), g,
                 F.lit("/?utm_source=x"),
             ),
         )
-        .otherwise(F.concat(base, F.lit("?gclid=1#frag")))
+        .otherwise(
+            F.concat(
+                F.lit("http://site"), g, F.lit(".example.com/p%2Fath"), g,
+                F.lit("?gclid=1&utm_campaign#frag"),
+            )
+        )
         .alias("url"),
         F.col("doc_id").alias("ts"),
     )
@@ -588,7 +594,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _pii_oracle_sql(),
         "url_dedup": """
             SELECT 'http://site' || CAST(doc_id // 3 AS VARCHAR)
-                   || '.example.com/path' || CAST(doc_id // 3 AS VARCHAR)
+                   || '.example.com/p%2Fath' || CAST(doc_id // 3 AS VARCHAR)
                      AS canonical_url,
                    CAST(MAX(doc_id) AS BIGINT) AS doc_id
             FROM documents GROUP BY doc_id // 3

@@ -114,8 +114,12 @@ def pii_scrub(
     taken per stage on the partially-scrubbed string (matching the
     sequential-replacement semantics exactly), so the operator is
     deterministic and SQL-oracle-checkable with the same patterns.
+
+    Null text scrubs to the empty string with zero counts (real crawl
+    corpora contain null rows; null-propagating regexps would otherwise
+    emit ``-1``/null stats).
     """
-    cur = F.col(text_col)
+    cur = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
     counts = {}
     for name, pat, tok in PII_PATTERNS:
         counts[f"pii_{name}s"] = F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
@@ -192,13 +196,15 @@ def repetition_stats(
     """
     from ..sources.tables import tokens_col
 
-    d = docs.withColumn("__toks", tokens_col(text_col))
+    # null text => empty doc (n_tokens 0, fractions 0), not -1/null stats
+    d = docs.withColumn("__text", F.coalesce(F.col(text_col).cast("string"), F.lit("")))
+    d = d.withColumn("__toks", tokens_col("__text"))
     d = d.withColumn("__bi", F.array_sort(_ngrams_col(F.col("__toks"), 2)))
     d = d.withColumn("__tri", F.array_sort(_ngrams_col(F.col("__toks"), 3)))
     d = d.withColumn("__top2", _top_run(F.col("__bi")))
     d = d.withColumn("__top3", _top_run(F.col("__tri")))
     n_bi = F.size("__bi")
-    safe_chars = F.greatest(F.length(text_col), F.lit(1))
+    safe_chars = F.greatest(F.length("__text"), F.lit(1))
     top2, top3 = F.col("__top2"), F.col("__top3")
     return d.select(
         id_col,

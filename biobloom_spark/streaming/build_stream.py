@@ -15,11 +15,28 @@ Registry persistence is versioned: batch N writes
 directory carrying the parquet committer's ``_SUCCESS`` marker — derived
 by listing through the Hadoop FileSystem API (works for any configured
 FS: file://, hdfs://, s3a://…; a driver restart on another host sees the
-same state).  Replayed batches (restart from the streaming checkpoint)
-are detected by their committed version directory and skipped, so the
-fold is exactly-once; a kill mid-write leaves no ``_SUCCESS`` marker and
-the batch re-runs (``mode="overwrite"`` clobbers the partial output) —
-the same crash contract as the miBF store stages.
+same state).
+
+Exactly-once under replay: after committing ``v=<N>`` the fold drops an
+empty, never-reaped fold marker ``<registry_path>/_folded/b=<N>`` (O(1)
+bytes per batch).  A replayed batch — whether the single-batch replay a
+streaming checkpoint produces after a crash, or a full replay from a
+fresh checkpoint over the same source — is skipped on its marker, so no
+batch is ever folded twice.  A kill mid-write leaves neither ``_SUCCESS``
+nor marker and the batch re-runs (``mode="overwrite"`` clobbers the
+partial output); a kill in the marker gap (after ``_SUCCESS``, before
+the marker) is healed by the replay detecting the committed directory,
+writing the missing marker, and skipping the rebuild — the same
+versioned-commit contract as the miBF store stages.
+
+Retention: each fold rewrites the full state, so without reaping a
+long-running stream accumulates O(batches x keys) parquet copies.  After
+each commit the fold deletes every version directory older than the
+``retain_versions`` (default 2) highest *committed* ones — keeping N and
+N-1 means a kill mid-write of N always re-runs against an intact N-1
+pointer.  Marker-less version directories older than the kept window are
+dead partial writes and are reaped too.  The ``_folded`` markers are the
+durable exactly-once record and are never reaped.
 """
 
 from __future__ import annotations
@@ -30,20 +47,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..config import BloomParams, BuildConfig
 
-__all__ = ["build_stream_writer", "load_latest_registry", "latest_version"]
+__all__ = ["build_stream_writer", "load_latest_registry", "latest_version", "reap_versions"]
 
 
-def latest_version(spark: SparkSession, registry_path: str) -> int | None:
-    """Highest committed registry version (micro-batch id), or None before
-    the first commit.  A version counts as committed only when its
-    ``_SUCCESS`` marker exists — partial output from a killed write is
-    invisible here."""
+def _fs(spark: SparkSession, path: str):
     jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(registry_path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _list_versions(spark: SparkSession, path: str) -> list[tuple[int, bool]]:
+    """(version, committed) for every ``v=<N>`` directory under path."""
+    jvm, fs = _fs(spark, path)
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
     if not fs.exists(hpath):
-        return None
-    best: int | None = None
+        return []
+    out = []
     for status in fs.listStatus(hpath):
         name = status.getPath().getName()
         if not (status.isDirectory() and name.startswith("v=")):
@@ -53,9 +72,55 @@ def latest_version(spark: SparkSession, registry_path: str) -> int | None:
         except ValueError:
             continue
         marker = jvm.org.apache.hadoop.fs.Path(status.getPath(), "_SUCCESS")
-        if fs.exists(marker) and (best is None or v > best):
-            best = v
-    return best
+        out.append((v, bool(fs.exists(marker))))
+    return out
+
+
+def batch_folded(spark: SparkSession, path: str, batch_id: int) -> bool:
+    """True iff batch ``batch_id`` was fully folded (its ``_folded/b=<id>``
+    marker exists)."""
+    jvm, fs = _fs(spark, path)
+    return bool(
+        fs.exists(jvm.org.apache.hadoop.fs.Path(posixpath.join(path, "_folded", f"b={batch_id}")))
+    )
+
+
+def mark_folded(spark: SparkSession, path: str, batch_id: int) -> None:
+    """Drop the empty, never-reaped exactly-once marker for a batch."""
+    jvm, fs = _fs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(posixpath.join(path, "_folded", f"b={batch_id}"))
+    fs.mkdirs(p.getParent())
+    fs.create(p, True).close()
+
+
+def reap_versions(spark: SparkSession, path: str, retain: int = 2) -> list[int]:
+    """Delete version directories superseded by the ``retain`` highest
+    committed ones (module docstring: why 2 preserves the crash contract).
+    Marker-less directories older than the kept window are dead partial
+    writes and go too.  Returns the reaped version numbers."""
+    if retain < 1:
+        raise ValueError("retain must be >= 1")
+    entries = _list_versions(spark, path)
+    committed = sorted((v for v, ok in entries if ok), reverse=True)
+    if len(committed) == 0:
+        return []
+    floor = committed[min(retain, len(committed)) - 1]
+    jvm, fs = _fs(spark, path)
+    reaped = []
+    for v, _ok in entries:
+        if v < floor:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(posixpath.join(path, f"v={v}")), True)
+            reaped.append(v)
+    return sorted(reaped)
+
+
+def latest_version(spark: SparkSession, registry_path: str) -> int | None:
+    """Highest committed registry version (micro-batch id), or None before
+    the first commit.  A version counts as committed only when its
+    ``_SUCCESS`` marker exists — partial output from a killed write is
+    invisible here."""
+    committed = [v for v, ok in _list_versions(spark, registry_path) if ok]
+    return max(committed) if committed else None
 
 
 def load_latest_registry(spark: SparkSession, registry_path: str) -> DataFrame | None:
@@ -76,10 +141,12 @@ def build_stream_writer(
     id_col: str = "url",
     params: BloomParams | None = None,
     build: BuildConfig | None = None,
+    retain_versions: int = 2,
 ):
     """foreachBatch writer that folds micro-batches into a persistent
     registry.  Returns a ``DataStreamWriter`` — caller sets trigger +
-    checkpointLocation and ``.start()``s it.
+    checkpointLocation and ``.start()``s it.  ``retain_versions`` bounds
+    on-disk state to that many committed versions (module docstring).
 
     ``sizing`` pins (m, h) per filter key (a ``maker.size_filters`` result
     over a representative sample, or explicit expected-entry counts):
@@ -97,25 +164,26 @@ def build_stream_writer(
     keys = list(sizing)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_folded(spark, registry_path, batch_id):
+            return  # replayed batch — already folded, exactly-once
         vdir = posixpath.join(registry_path, f"v={batch_id}")
-        if _stage_done(spark, vdir):
-            # checkpoint replay after a crash between commit and the
-            # trigger advancing: the fold already happened — nothing to do
-            # (the committed directory IS the pointer)
-            return
-        batch_reg = build_filters(
-            spark,
-            batch_df,
-            key_col=key_col,
-            text_col=text_col,
-            id_col=id_col,
-            params=params,
-            build=build,
-            keys=keys,
-            expected_sizing=sizing,
-        )
-        prev = load_latest_registry(spark, registry_path)
-        merged = merge_registries(prev, batch_reg) if prev is not None else batch_reg
-        merged.write.mode("overwrite").parquet(vdir)
+        if not _stage_done(spark, vdir):
+            batch_reg = build_filters(
+                spark,
+                batch_df,
+                key_col=key_col,
+                text_col=text_col,
+                id_col=id_col,
+                params=params,
+                build=build,
+                keys=keys,
+                expected_sizing=sizing,
+            )
+            prev = load_latest_registry(spark, registry_path)
+            merged = merge_registries(prev, batch_reg) if prev is not None else batch_reg
+            merged.write.mode("overwrite").parquet(vdir)
+        # else: kill in the marker gap — the commit exists, just heal the marker
+        mark_folded(spark, registry_path, batch_id)
+        reap_versions(spark, registry_path, retain=retain_versions)
 
     return stream_docs.writeStream.foreachBatch(fold)

@@ -9,11 +9,14 @@ the result is independent of how the stream was chopped (bit-identical
 for HLL/CMS, inside the published bound for the quantile sketches —
 property-tested against the one-shot batch aggregation).
 
-Persistence + exactly-once contract is shared with ``build_stream``:
-batch N writes ``<sketch_path>/v=<N>``; the latest state is the highest
-version directory carrying the parquet committer's ``_SUCCESS`` marker;
-replayed batches are detected by their committed directory and skipped;
-a kill mid-write leaves no marker and the batch re-runs.
+Persistence + exactly-once + retention contracts are shared with
+``build_stream``: batch N writes ``<sketch_path>/v=<N>`` and then a
+never-reaped ``_folded/b=<N>`` marker (the durable exactly-once record —
+replays skip on it); the latest state is the highest version directory
+carrying the parquet committer's ``_SUCCESS`` marker; a kill mid-write
+re-runs the batch; after each commit, versions older than the
+``retain_versions`` newest committed ones are reaped (see
+``build_stream`` for the full crash-window analysis).
 """
 
 from __future__ import annotations
@@ -43,6 +46,7 @@ def sketch_stream_writer(
     text_col: str = "text",
     distinct: str = "tokens",
     shingle_w: int = 3,
+    retain_versions: int = 2,
 ):
     """foreachBatch writer folding micro-batches into persistent per-key
     sketch rows.  Returns a ``DataStreamWriter`` — caller sets trigger +
@@ -54,17 +58,22 @@ def sketch_stream_writer(
     add rows."""
     from ..operators.mibf_store import _stage_done
     from ..operators.sketch_agg import merge_sketch_rows, sketch_by_key
+    from .build_stream import batch_folded, mark_folded, reap_versions
 
     if not stream_docs.isStreaming:
         raise ValueError("sketch_stream_writer expects a streaming DataFrame")
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_folded(spark, sketch_path, batch_id):
+            return  # replayed batch — already folded, exactly-once
         vdir = posixpath.join(sketch_path, f"v={batch_id}")
-        if _stage_done(spark, vdir):
-            return  # committed replay — the version directory IS the pointer
-        batch_rows = sketch_by_key(batch_df, key_col, text_col, distinct, shingle_w)
-        prev = load_latest_sketch_rows(spark, sketch_path)
-        merged = merge_sketch_rows(prev, batch_rows) if prev is not None else batch_rows
-        merged.write.mode("overwrite").parquet(vdir)
+        if not _stage_done(spark, vdir):
+            batch_rows = sketch_by_key(batch_df, key_col, text_col, distinct, shingle_w)
+            prev = load_latest_sketch_rows(spark, sketch_path)
+            merged = merge_sketch_rows(prev, batch_rows) if prev is not None else batch_rows
+            merged.write.mode("overwrite").parquet(vdir)
+        # else: kill in the marker gap — commit exists, just heal the marker
+        mark_folded(spark, sketch_path, batch_id)
+        reap_versions(spark, sketch_path, retain=retain_versions)
 
     return stream_docs.writeStream.foreachBatch(fold)

@@ -209,6 +209,78 @@ class TestBuildStream:
         os.makedirs(os.path.join(reg_path, "not-a-version"))
         assert latest_version(spark, reg_path) == 0
 
+    def test_retention_bounds_versions(self, spark, tmp_path, corpus, sizing):
+        """Round-5 retention contract: a long stream keeps at most
+        retain_versions committed v= dirs on disk (the _folded markers are
+        the O(1)-byte exactly-once record), and the surviving latest state
+        still equals the one-shot batch build."""
+        import os
+
+        from biobloom_spark.streaming.build_stream import (
+            build_stream_writer,
+            latest_version,
+            load_latest_registry,
+        )
+        from biobloom_spark.streaming.categorize_stream import (
+            stream_from_parquet_dir,
+        )
+
+        src = str(tmp_path / "drop_r")
+        corpus.repartition(4).write.mode("overwrite").parquet(src)
+        reg_path = str(tmp_path / "registry_r")
+        stream = stream_from_parquet_dir(spark, src, max_files_per_trigger=1)
+        q = (
+            build_stream_writer(spark, stream, sizing, reg_path, id_col="url")
+            .option("checkpointLocation", str(tmp_path / "ckpt_r"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+        vdirs = [d for d in os.listdir(reg_path) if d.startswith("v=")]
+        n_batches = latest_version(spark, reg_path) + 1
+        assert n_batches >= 3  # the stream really was chopped
+        assert len(vdirs) <= 2, vdirs
+        markers = sorted(
+            m for m in os.listdir(os.path.join(reg_path, "_folded"))
+            if not m.startswith(".")  # local-FS .crc siblings
+        )
+        assert markers == sorted(f"b={i}" for i in range(n_batches))
+        merged = load_latest_registry(spark, reg_path)
+        full = build_filters(spark, corpus, id_col="url", expected_sizing=sizing)
+        assert _bitmaps(merged) == _bitmaps(full)
+
+    def test_reap_and_marker_gap_protocol(self, spark, tmp_path):
+        """Unit contract of the version reaper + fold markers: reap keeps
+        the `retain` newest committed versions, sweeps dead partial writes
+        below the floor, never touches _folded; a committed-but-unmarked
+        version (kill in the marker gap) is healable."""
+        import os
+
+        from biobloom_spark.streaming.build_stream import (
+            batch_folded,
+            mark_folded,
+            reap_versions,
+        )
+
+        p = str(tmp_path / "reap")
+        df = spark.createDataFrame([(1,)], "x int")
+        for v in (0, 1, 2, 3):
+            df.write.parquet(os.path.join(p, f"v={v}"))
+        os.remove(os.path.join(p, "v=1", "_SUCCESS"))  # dead partial write
+        for b in (0, 1, 2, 3):
+            mark_folded(spark, p, b)
+        reaped = reap_versions(spark, p, retain=2)
+        # committed = [3, 2, 0]; floor = 2 -> reap v=0 (committed, old) and
+        # v=1 (dead partial below the floor)
+        assert reaped == [0, 1]
+        assert sorted(d for d in os.listdir(p) if d.startswith("v=")) == ["v=2", "v=3"]
+        assert all(batch_folded(spark, p, b) for b in (0, 1, 2, 3))
+        # reap is idempotent and keeps the window thereafter
+        assert reap_versions(spark, p, retain=2) == []
+        with pytest.raises(ValueError):
+            reap_versions(spark, p, retain=0)
+
 
 class TestSketchStream:
     def test_stream_matches_batch_sketches(self, spark, tmp_path, corpus):

@@ -443,6 +443,25 @@ class TestTextStats:
         df = spark.createDataFrame([(1, "a@b.co")], "doc_id long, text string")
         assert_no_shuffle(pii_scrub(df), "pii_scrub")
 
+    def test_null_text_contract(self, spark):
+        """Null text rows (real crawl corpora have them) get empty-doc
+        stats, never -1/null from null-propagating arithmetic."""
+        from biobloom_spark.operators.textstats import pii_scrub
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "a b a b a@b.co")], "doc_id long, text string"
+        )
+        rep = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+        assert rep[1]["n_tokens"] == 0
+        assert rep[1]["dup_bigram_frac"] == 0.0
+        assert rep[1]["top_bigram_cnt"] == 0
+        assert rep[1]["top_bigram_char_frac"] == 0.0
+        assert rep[1]["top_trigram_char_frac"] == 0.0
+        assert rep[2]["n_tokens"] == 5
+        pii = {r["doc_id"]: r.asDict() for r in pii_scrub(df).collect()}
+        assert pii[1]["text_scrubbed"] == "" and pii[1]["pii_emails"] == 0
+        assert pii[2]["pii_emails"] == 1
+
     def test_fingerprints_stable_and_containment(self, spark, dup_docs):
         fp = {r["doc_id"]: tuple(r["fingerprint"]) for r in doc_fingerprints(dup_docs).collect()}
         assert fp[0] == fp[60]
