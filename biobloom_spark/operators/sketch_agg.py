@@ -55,6 +55,7 @@ from pyspark.sql import types as T
 __all__ = [
     "SKETCH_ROW_SCHEMA",
     "sketch_by_key",
+    "sketch_by_key_checkpointed",
     "merge_sketch_rows",
     "sketch_estimates",
     "cms_token_counts",
@@ -81,6 +82,12 @@ _PARTIAL_SCHEMA = T.StructType(
     + SKETCH_ROW_SCHEMA.fields[1:]
 )
 
+# checkpointed partials additionally record their source partition id —
+# the resume key (and the per-partition lineage grain)
+_CKPT_PARTIAL_SCHEMA = T.StructType(
+    list(_PARTIAL_SCHEMA.fields) + [T.StructField("part_id", T.IntegerType(), False)]
+)
+
 
 def _sketch_params():
     # single source of truth: the registry companions' parameters
@@ -102,17 +109,30 @@ def _partials_df(
     distinct: str,
     shingle_w: int,
     fanout: int,
+    with_part_id: bool = False,
+    skip_partitions: set[int] | None = None,
 ) -> DataFrame:
     """The zero-shuffle partial stage of ``sketch_by_key``: one sketch-row
     per (input partition, key), tagged with ``salt = partition_id %
     fanout`` for the two-level merge.  Exposed separately so tests can pin
-    the O(partitions x keys) partial-count contract directly."""
+    the O(partitions x keys) partial-count contract directly.
+
+    ``with_part_id`` adds the source partition id column the checkpointed
+    build stores for resume; ``skip_partitions`` drops those partitions'
+    rows before any work (partition ids and count are preserved, so the
+    remaining tasks keep their original ids — the resume contract)."""
     p, cw, cd = _sketch_params()
     from ..functions.text import batch_doc_shingles
 
     sel = docs.filter(
         F.col(key_col).isNotNull() & F.col(text_col).isNotNull()
     ).select(F.col(key_col).cast("string").alias("__key"), F.col(text_col).alias("__text"))
+    if skip_partitions:
+        done = set(skip_partitions)
+        sel = sel.rdd.mapPartitionsWithIndex(
+            lambda pid, it: iter([]) if pid in done else it,
+            preservesPartitioning=True,
+        ).toDF(sel.schema)
 
     def partials(batches):
         from pyspark import TaskContext
@@ -139,21 +159,23 @@ def _partials_df(
         if not acc:
             return
         ctx = TaskContext.get()
-        salt = (int(ctx.partitionId()) if ctx is not None else 0) % fanout
-        yield pd.DataFrame(
-            {
-                "key": [str(k) for k in acc],
-                "salt": np.full(len(acc), salt, dtype=np.int32),
-                "n_docs": [st[4] for st in acc.values()],
-                "n_tokens": [st[5] for st in acc.values()],
-                "hll": [st[0].serialize() for st in acc.values()],
-                "cms": [st[1].serialize() for st in acc.values()],
-                "kll": [st[2].serialize() for st in acc.values()],
-                "tdigest": [st[3].serialize() for st in acc.values()],
-            }
-        )
+        pid = int(ctx.partitionId()) if ctx is not None else 0
+        out = {
+            "key": [str(k) for k in acc],
+            "salt": np.full(len(acc), pid % fanout, dtype=np.int32),
+            "n_docs": [st[4] for st in acc.values()],
+            "n_tokens": [st[5] for st in acc.values()],
+            "hll": [st[0].serialize() for st in acc.values()],
+            "cms": [st[1].serialize() for st in acc.values()],
+            "kll": [st[2].serialize() for st in acc.values()],
+            "tdigest": [st[3].serialize() for st in acc.values()],
+        }
+        if with_part_id:
+            out["part_id"] = np.full(len(acc), pid, dtype=np.int32)
+        yield pd.DataFrame(out)
 
-    return sel.mapInPandas(partials, _PARTIAL_SCHEMA)
+    schema = _CKPT_PARTIAL_SCHEMA if with_part_id else _PARTIAL_SCHEMA
+    return sel.mapInPandas(partials, schema)
 
 
 def sketch_by_key(
@@ -193,11 +215,120 @@ def sketch_by_key(
         n_parts = docs.rdd.getNumPartitions()
         merge_fanout = max(1, math.isqrt(max(int(n_parts), 1)))
     part = _partials_df(docs, key_col, text_col, distinct, shingle_w, merge_fanout)
+    return _merge_partials(part, merge_fanout)
+
+
+def _default_fanout(docs: DataFrame) -> int:
+    import math
+
+    n_parts = docs.rdd.getNumPartitions()
+    return max(1, math.isqrt(max(int(n_parts), 1)))
+
+
+def _merge_partials(part: DataFrame, merge_fanout: int) -> DataFrame:
+    """The salted two-level merge tail shared by the one-shot and
+    checkpointed builds (partials → one sketch-row per key)."""
     if merge_fanout > 1:
         part = part.groupBy("key", "salt").applyInPandas(
             _merge_fn(keep_salt=True), _PARTIAL_SCHEMA
         )
     return part.groupBy("key").applyInPandas(_merge_fn(), SKETCH_ROW_SCHEMA)
+
+
+def sketch_by_key_checkpointed(
+    spark,
+    docs: DataFrame,
+    partials_path: str,
+    key_col: str = "lang",
+    text_col: str = "text",
+    distinct: str = "tokens",
+    shingle_w: int = 3,
+    merge_fanout: int | None = None,
+    snapshot_id: str | None = None,
+    job_id: str | None = None,
+) -> DataFrame:
+    """``sketch_by_key`` with per-partition checkpoint + resume — the
+    north rule's mid-build resumability for the standalone sketch surface
+    (the filter build's analog is ``maker.build_filters(partials_path=)``,
+    the miBF's is ``mibf_store.build_mibf_store``).
+
+    Per-(partition, key) partial sketch rows land in ``partials_path`` as
+    parquet tagged with their source partition id; a re-invocation against
+    the same input snapshot recomputes only the partitions with no
+    checkpointed row and appends them.  A companion
+    ``<partials_path>_lineage`` parquet records one row per (partition,
+    key) with the exact doc/token counters — the per-partition lineage +
+    metrics the rule names.  The final salted two-level merge always runs
+    from the (cheap, sketch-sized) checkpoint, so the merged result is the
+    same DataFrame ``sketch_by_key`` would have produced.
+
+    Resume safety follows ``build_filters``: the checkpoint carries a
+    fingerprint over the input snapshot (``snapshot_id`` or the scan's
+    file listing), the scan's partition count, and every parameter that
+    shapes partial content; any mismatch discards the stale state and
+    rebuilds from scratch rather than silently dropping or double-counting
+    partitions.  In-memory DataFrames with no file listing get no
+    fingerprint and never resume unless ``snapshot_id`` is given.
+    """
+    import hashlib
+    import os
+    import uuid
+
+    from ..session import ensure_workers
+    from .maker import _read_snapshot, _write_snapshot
+
+    if distinct not in ("tokens", "shingles"):
+        raise ValueError("distinct must be 'tokens' or 'shingles'")
+    ensure_workers(spark)
+    job_id = job_id or uuid.uuid4().hex[:12]
+    if merge_fanout is None:
+        merge_fanout = _default_fanout(docs)
+
+    n_parts = docs.rdd.getNumPartitions()
+    snap = snapshot_id or ";".join(sorted(docs.inputFiles()))
+    param_fp = repr(
+        (key_col, text_col, distinct, shingle_w, merge_fanout, n_parts, _sketch_params())
+    )
+    snap_fp = (
+        hashlib.md5((snap + "|" + param_fp).encode()).hexdigest() if snap else None
+    )
+
+    resume = False
+    if os.path.exists(partials_path):
+        resume = snap_fp is not None and _read_snapshot(partials_path) == snap_fp
+        if resume:
+            try:
+                have_cols = set(spark.read.parquet(partials_path).columns)
+            except Exception:
+                have_cols = set()
+            resume = {f.name for f in _CKPT_PARTIAL_SCHEMA.fields} <= have_cols
+
+    skip: set[int] = set()
+    if resume:
+        skip = {
+            int(r["part_id"])
+            for r in spark.read.parquet(partials_path).select("part_id").distinct().collect()
+        }
+    new_partials = _partials_df(
+        docs, key_col, text_col, distinct, shingle_w, merge_fanout,
+        with_part_id=True, skip_partitions=skip,
+    )
+    new_partials.write.mode("append" if resume else "overwrite").parquet(partials_path)
+    if snap_fp is not None:
+        _write_snapshot(partials_path, snap_fp)
+
+    partials = spark.read.parquet(partials_path)
+    partials.select(
+        F.lit(job_id).alias("job_id"),
+        F.lit("sketch_partials").alias("stage"),
+        "part_id",
+        "key",
+        F.lit("done").alias("status"),
+        "n_docs",
+        "n_tokens",
+    ).write.mode("overwrite").parquet(partials_path.rstrip("/") + "_lineage")
+
+    return _merge_partials(partials.select(*[f.name for f in _PARTIAL_SCHEMA.fields]), merge_fanout)
 
 
 def _merge_fn(keep_salt: bool = False):

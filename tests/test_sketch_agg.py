@@ -186,3 +186,119 @@ class TestSketchByKey:
         got = _rows(sketch_by_key(df, key_col="lang"))
         assert list(got) == ["en"]
         assert got["en"]["n_docs"] == 1 and got["en"]["n_tokens"] == 3
+
+
+class TestSketchCheckpoint:
+    """Checkpoint + resume for the standalone sketch build — the north
+    rule's mid-build resumability, at the sketch surface's per-partition
+    grain (the filter build's analog: tests/test_e2e_spark.py resume
+    suite)."""
+
+    def _assert_same(self, a, b):
+        assert a.keys() == b.keys()
+        for k in a:
+            assert bytes(a[k]["hll"]) == bytes(b[k]["hll"])
+            assert bytes(a[k]["cms"]) == bytes(b[k]["cms"])
+            assert a[k]["n_docs"] == b[k]["n_docs"]
+            assert a[k]["n_tokens"] == b[k]["n_tokens"]
+
+    def test_matches_one_shot(self, spark, corpus, tmp_path):
+        from biobloom_spark.operators.sketch_agg import sketch_by_key_checkpointed
+
+        eight = corpus.repartition(8).cache()
+        eight.count()
+        try:
+            want = _rows(sketch_by_key(eight, key_col="lang", merge_fanout=2))
+            got = _rows(
+                sketch_by_key_checkpointed(
+                    spark, eight, str(tmp_path / "ck"), key_col="lang",
+                    merge_fanout=2, snapshot_id="s1",
+                )
+            )
+            self._assert_same(got, want)
+            # lineage: one row per (partition, key), counters exact
+            lin = spark.read.parquet(str(tmp_path / "ck_lineage"))
+            assert lin.count() == lin.select("part_id", "key").distinct().count()
+            n = sum(r["n_docs"] for r in lin.collect())
+            assert n == eight.filter(F.col("lang").isNotNull()).count()
+        finally:
+            eight.unpersist()
+
+    def test_resume_recomputes_only_missing_partitions(self, spark, corpus, tmp_path):
+        import shutil
+
+        from biobloom_spark.operators.maker import _snapshot_path
+        from biobloom_spark.operators.sketch_agg import sketch_by_key_checkpointed
+
+        eight = corpus.repartition(8).cache()
+        eight.count()
+        try:
+            p_full = str(tmp_path / "full")
+            want = _rows(
+                sketch_by_key_checkpointed(
+                    spark, eight, p_full, key_col="lang", merge_fanout=2,
+                    snapshot_id="s1",
+                )
+            )
+            full = spark.read.parquet(p_full)
+            full_counts = {
+                (r["part_id"], r["key"]): 1 for r in full.select("part_id", "key").collect()
+            }
+            # carve a killed-mid-build checkpoint: only partitions 0-2 landed
+            p_part = str(tmp_path / "partial")
+            full.filter(F.col("part_id") < 3).write.parquet(p_part)
+            shutil.copy(_snapshot_path(p_full), _snapshot_path(p_part))
+
+            got = _rows(
+                sketch_by_key_checkpointed(
+                    spark, eight, p_part, key_col="lang", merge_fanout=2,
+                    snapshot_id="s1",
+                )
+            )
+            self._assert_same(got, want)
+            # the resumed checkpoint holds every (partition, key) exactly once
+            after = spark.read.parquet(p_part).select("part_id", "key").collect()
+            assert len(after) == len(set((r["part_id"], r["key"]) for r in after))
+            assert set((r["part_id"], r["key"]) for r in after) == set(full_counts)
+        finally:
+            eight.unpersist()
+
+    def test_rejects_changed_snapshot(self, spark, corpus, tmp_path):
+        from biobloom_spark.operators.sketch_agg import sketch_by_key_checkpointed
+
+        eight = corpus.repartition(8).cache()
+        eight.count()
+        try:
+            path = str(tmp_path / "ck")
+            # stale state: a complete build over the WRONG subset
+            sketch_by_key_checkpointed(
+                spark, eight.limit(300).repartition(8), path, key_col="lang",
+                merge_fanout=2, snapshot_id="v1",
+            ).collect()
+            got = _rows(
+                sketch_by_key_checkpointed(
+                    spark, eight, path, key_col="lang", merge_fanout=2,
+                    snapshot_id="v2",
+                )
+            )
+            want = _rows(sketch_by_key(eight, key_col="lang", merge_fanout=2))
+            self._assert_same(got, want)
+        finally:
+            eight.unpersist()
+
+    def test_no_resume_without_snapshot_identity(self, spark, corpus, tmp_path):
+        """An in-memory DataFrame has no file listing: without an explicit
+        snapshot_id the second run must NOT trust the checkpoint (it
+        rebuilds from scratch — correct, never resumed)."""
+        from biobloom_spark.operators.sketch_agg import sketch_by_key_checkpointed
+
+        path = str(tmp_path / "ck")
+        first = _rows(
+            sketch_by_key_checkpointed(spark, corpus, path, key_col="lang", merge_fanout=2)
+        )
+        again = _rows(
+            sketch_by_key_checkpointed(spark, corpus, path, key_col="lang", merge_fanout=2)
+        )
+        self._assert_same(first, again)
+        want = _rows(sketch_by_key(corpus, key_col="lang", merge_fanout=2))
+        self._assert_same(again, want)
