@@ -315,6 +315,50 @@ def q_sketch_by_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch_bounds_report(spark, _docs(spark, sf_dir), key_col="lang")
 
 
+def q_sketch_ckpt_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint/resume proof for the standalone sketch build: build a
+    per-partition checkpoint, then re-invoke against the same parquet
+    snapshot (a full resume — zero partitions recomputed) and report the
+    resumed per-key exact counters plus a boolean asserting the resumed
+    HLL/CMS bytes are identical to the one-shot ``sketch_by_key`` result.
+    The counters twin exactly in SQL; the boolean twins as ``true``, so a
+    resume that drops/double-counts a partition fails the value hash."""
+    import os
+    import shutil
+    import tempfile
+
+    from biobloom_spark.operators.sketch_agg import (
+        sketch_by_key,
+        sketch_by_key_checkpointed,
+    )
+
+    docs = _docs(spark, sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(), "entry_sketch_ckpt_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(path + "_lineage", ignore_errors=True)
+    sketch_by_key_checkpointed(spark, docs, path, key_col="lang").count()
+    resumed = {
+        r["key"]: r
+        for r in sketch_by_key_checkpointed(spark, docs, path, key_col="lang").collect()
+    }
+    oneshot = {r["key"]: r for r in sketch_by_key(docs, key_col="lang").collect()}
+    rows = [
+        (
+            k,
+            int(resumed[k]["n_docs"]),
+            int(resumed[k]["n_tokens"]),
+            bytes(resumed[k]["hll"]) == bytes(oneshot[k]["hll"])
+            and bytes(resumed[k]["cms"]) == bytes(oneshot[k]["cms"]),
+        )
+        for k in sorted(resumed)
+    ]
+    return spark.createDataFrame(
+        rows, "key string, n_docs bigint, n_tokens bigint, resume_identical boolean"
+    )
+
+
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality features + composite score (pure arithmetic)."""
     from biobloom_spark.operators.textstats import quality_score
@@ -531,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_skew_metrics": q_domain_skew_metrics,
         "doc_quality": q_doc_quality,
         "sketch_by_key_stats": q_sketch_by_key_stats,
+        "sketch_ckpt_stats": q_sketch_ckpt_stats,
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
         "url_dedup": q_url_dedup,
@@ -615,6 +660,13 @@ def oracle_sql() -> dict[str, str]:
                    true AS hll_ok, true AS cms_ok,
                    true AS kll_ok, true AS tdigest_ok
             FROM agg JOIN d USING (key)
+        """,
+        "sketch_ckpt_stats": f"""
+            SELECT lang AS key, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens,
+                   true AS resume_identical
+            FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL
+            GROUP BY lang
         """,
         "sizing_prepass": f"""
             SELECT lang,
