@@ -143,7 +143,11 @@ def run_one(cores: int, reps: int, phases: str = "build,categorize") -> dict:
 
     # identical job shape at both core counts: only the core count varies
     want = set(phases.split(","))
-    spark = get_spark("scale_run", cores=cores, shuffle_partitions=64, driver_memory="48g")
+    # 48g holds the 2M-page cached corpus; the 8M-page exchange-amortization
+    # run needs headroom so cache eviction/recompute can't poison a rep —
+    # override via SCALE_DRIVER_MEM (same value at both core counts).
+    dmem = os.environ.get("SCALE_DRIVER_MEM", "48g")
+    spark = get_spark("scale_run", cores=cores, shuffle_partitions=64, driver_memory=dmem)
     docs = spark.read.parquet(CORPUS_PATH).cache()
     n = docs.count()
 
