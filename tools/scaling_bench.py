@@ -147,6 +147,12 @@ def run_one(cores: int, reps: int, phases: str = "build,categorize") -> dict:
     # run needs headroom so cache eviction/recompute can't poison a rep —
     # override via SCALE_DRIVER_MEM (same value at both core counts).
     dmem = os.environ.get("SCALE_DRIVER_MEM", "48g")
+    # map-task grain: at 2M pages coalesce 8 minimizes the partials
+    # exchange (volume ~ task count on overlapping zipfian vocab), but per
+    # task state grows with docs/task — at 8M pages, 1M-doc tasks thrash
+    # under 8-way concurrency (BENCH.md round-5 8M A/B).  Same value at
+    # both core counts, so the comparison stays job-identical.
+    coalesce = int(os.environ.get("SCALE_COALESCE", "8"))
     spark = get_spark("scale_run", cores=cores, shuffle_partitions=64, driver_memory=dmem)
     docs = spark.read.parquet(CORPUS_PATH).cache()
     n = docs.count()
@@ -163,7 +169,7 @@ def run_one(cores: int, reps: int, phases: str = "build,categorize") -> dict:
     # work); it doubles as the registry for the categorize phase
     reg = build_filters(
         spark, docs, key_col="lang", text_col="text", id_col="url",
-        build=BuildConfig(num_buckets=64, merge_groups=8, coalesce_input=8),
+        build=BuildConfig(num_buckets=64, merge_groups=8, coalesce_input=coalesce),
     )
     filters = load_registry(reg) if "categorize" in want else None
     if filters is not None:
@@ -184,7 +190,7 @@ def run_one(cores: int, reps: int, phases: str = "build,categorize") -> dict:
         # rep could silently reuse (logical-plan cache matching)
         build_filters(
             spark, docs, key_col="lang", text_col="text", id_col="url",
-            build=BuildConfig(num_buckets=64, merge_groups=8, coalesce_input=8),
+            build=BuildConfig(num_buckets=64, merge_groups=8, coalesce_input=coalesce),
         ).write.format("noop").mode("overwrite").save()
 
     out = {"cores": cores, "n_docs": n}
