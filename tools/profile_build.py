@@ -38,11 +38,13 @@ def main() -> None:
     from biobloom_spark.session import get_spark
     from biobloom_spark.sources.tables import PARTIAL_SCHEMA, REGISTRY_SCHEMA
 
-    spark = get_spark("profile_build", cores=args.cores, shuffle_partitions=64, driver_memory="48g")
+    dmem = os.environ.get("SCALE_DRIVER_MEM", "48g")
+    coalesce = int(os.environ.get("SCALE_COALESCE", "8"))
+    spark = get_spark("profile_build", cores=args.cores, shuffle_partitions=64, driver_memory=dmem)
     docs = spark.read.parquet(CORPUS_PATH).cache()
     n = docs.count()
     params = BloomParams()
-    build = BuildConfig(num_buckets=64, merge_groups=8, coalesce_input=8)
+    build = BuildConfig(num_buckets=64, merge_groups=8, coalesce_input=coalesce)
 
     # warm: small build exercises codegen + python workers
     build_filters(
@@ -62,7 +64,7 @@ def main() -> None:
 
     base = docs.filter(F.col("lang").isNotNull() & F.col("text").isNotNull()).select(
         F.col("lang").cast("string").alias("filter_id"), F.col("text")
-    ).coalesce(8)
+    ).coalesce(coalesce)
     part_fn = _build_partition_fn(params, build, "text", "filter_id", None, None)
 
     t0 = time.perf_counter()
