@@ -94,6 +94,45 @@ def quick_probe(n_cores: int) -> float:
     return round(hi / (4 * lo), 3)
 
 
+def _triad(_):
+    import numpy as np
+
+    a = np.empty(16_000_000, dtype=np.float64)  # 128 MB, far beyond LLC
+    a[:] = 1.0
+    b = np.full_like(a, 2.0)
+    t0 = time.perf_counter()
+    for _i in range(4):
+        a += b  # 3 x 128 MB of DRAM traffic per pass, no temporaries
+    wall = time.perf_counter() - t0
+    return (4 * 3 * a.nbytes) / wall / 1e9  # GB/s seen by this process
+
+
+def bandwidth_probe(n_cores: int) -> dict:
+    """Memory-bandwidth weather reading, the blind spot of the pure-CPU
+    probe: the 2026-08-20 10:11 run measured calm CPU ceilings
+    (0.95-1.16) while the 8c Spark side ran 40% below its band and the 2c
+    side was *faster* than ever — the signature of host-level
+    bandwidth/IO throttling, which `_busy`'s register-only loop cannot
+    see.  Reports aggregate STREAM-triad GB/s at 1, N, and 4N processes
+    plus the N→4N bandwidth scaling ratio (1.0 = bandwidth not
+    contended; well under 1.0 = the interconnect, not the CPUs, is the
+    binding resource right now)."""
+    import multiprocessing as mp
+
+    def agg(procs: int) -> float:
+        with mp.Pool(procs) as p:
+            return sum(p.map(_triad, range(procs)))
+
+    one = _triad(0)
+    lo, hi = agg(n_cores), agg(4 * n_cores)
+    return {
+        "bw_gbs_1p": round(one, 1),
+        f"bw_gbs_{n_cores}p": round(lo, 1),
+        f"bw_gbs_{4 * n_cores}p": round(hi, 1),
+        "bw_scaling_ratio": round(hi / (4 * lo), 3),
+    }
+
+
 def wait_for_calm(n_cores: int, gate: float, timeout_s: float) -> float:
     """Block until two consecutive probes ~30 s apart both read >= gate
     (one calm probe means nothing on this host — BENCH.md's 01:16 run saw
@@ -251,7 +290,8 @@ def main() -> None:
         # weather stamp for THIS rep pair: lets the table annotation say
         # which samples ran coherently instead of inferring it post-hoc
         pair_ceilings.append(quick_probe(args.n_cores))
-        print(json.dumps({"rep": rep, "pair_ceiling": pair_ceilings[-1]}))
+        bw = bandwidth_probe(args.n_cores)
+        print(json.dumps({"rep": rep, "pair_ceiling": pair_ceilings[-1], **bw}))
     lo, hi = args.n_cores, 4 * args.n_cores
     # two estimators per side:
     # - median: the typical-weather number;
@@ -273,6 +313,7 @@ def main() -> None:
     calib = run_calibration(args.n_cores)
     ceiling = calib["hardware_efficiency_ceiling"]
     calib["per_rep_pair_ceilings"] = pair_ceilings
+    calib["bandwidth"] = bandwidth_probe(args.n_cores)
     report = {"n_docs": n, "calibration": calib}
     phases = {}
     if "build" in want:
