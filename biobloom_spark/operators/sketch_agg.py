@@ -29,9 +29,12 @@ Shape (the UDAF pattern used everywhere in this engine):
 Memory note: a task holds one sketch set (~hundreds of KB at the default
 parameters) per distinct key it sees.  For low-cardinality keys (lang,
 bucket) this is trivial; for very high-cardinality keys (url host),
-pre-repartition the corpus by the key so each task sees ~total_keys /
-n_partitions of them — that trades one corpus shuffle for bounded task
-state and single-row merge groups.
+(a) pass ``sketch_params=(hll_p, cms_width, cms_depth)`` sized to the
+audit's tolerance (see ``_resolve_params`` — ~18 KB/key at (10, 512, 4)
+vs ~340 KB at registry defaults), and (b) pre-repartition the corpus by
+the key so each task sees ~total_keys / n_partitions of them — that
+trades one corpus shuffle for bounded task state and single-row merge
+groups (``tests/test_sketch_agg.py`` pins the 20k-key audit end-to-end).
 
 Merges are the sketches' own published rules (register max, counter add,
 compactor concat, centroid merge), so the result is independent of
@@ -96,6 +99,26 @@ def _sketch_params():
     return _HLL_P, _CMS_W, _CMS_D
 
 
+def _resolve_params(sketch_params):
+    """``sketch_params`` is the high-cardinality-key memory knob: a task
+    holds one sketch set per distinct key it sees, and the default
+    registry-grade parameters cost ~340 KB/key (CMS 8192x5 counters
+    dominate) — right for tens of keys (lang, domain-bucket), prohibitive
+    for 10^5+ keys (url host).  Pass ``(hll_p, cms_width, cms_depth)``
+    sized to the audit's tolerance instead (e.g. ``(10, 512, 4)`` ≈ 18
+    KB/key → 10^5 keys at ~560 MB/task across 32 tasks after a
+    pre-repartition by key).  Every reader of the serialized rows
+    (merge, estimates, CMS queries, bounds report) must receive the same
+    tuple — the bytes don't self-describe, exactly like the registry's
+    companion sketches."""
+    if sketch_params is None:
+        return _sketch_params()
+    p, w, d = (int(x) for x in sketch_params)
+    if not (4 <= p <= 18) or w < 16 or d < 1:
+        raise ValueError(f"implausible sketch_params {sketch_params!r}")
+    return p, w, d
+
+
 def _new(p, w, d):
     from ..sketch import CountMinSketch, HLLSketch, KLLSketch, TDigestSketch
 
@@ -111,6 +134,7 @@ def _partials_df(
     fanout: int,
     with_part_id: bool = False,
     skip_partitions: set[int] | None = None,
+    sketch_params: tuple | None = None,
 ) -> DataFrame:
     """The zero-shuffle partial stage of ``sketch_by_key``: one sketch-row
     per (input partition, key), tagged with ``salt = partition_id %
@@ -121,7 +145,7 @@ def _partials_df(
     build stores for resume; ``skip_partitions`` drops those partitions'
     rows before any work (partition ids and count are preserved, so the
     remaining tasks keep their original ids — the resume contract)."""
-    p, cw, cd = _sketch_params()
+    p, cw, cd = _resolve_params(sketch_params)
     from ..functions.text import batch_doc_shingles
 
     sel = docs.filter(
@@ -185,6 +209,7 @@ def sketch_by_key(
     distinct: str = "tokens",
     shingle_w: int = 3,
     merge_fanout: int | None = None,
+    sketch_params: tuple | None = None,
 ) -> DataFrame:
     """One sketch-row per key: (key, n_docs, n_tokens, hll, cms, kll,
     tdigest).
@@ -214,8 +239,11 @@ def sketch_by_key(
 
         n_parts = docs.rdd.getNumPartitions()
         merge_fanout = max(1, math.isqrt(max(int(n_parts), 1)))
-    part = _partials_df(docs, key_col, text_col, distinct, shingle_w, merge_fanout)
-    return _merge_partials(part, merge_fanout)
+    part = _partials_df(
+        docs, key_col, text_col, distinct, shingle_w, merge_fanout,
+        sketch_params=sketch_params,
+    )
+    return _merge_partials(part, merge_fanout, sketch_params)
 
 
 def _default_fanout(docs: DataFrame) -> int:
@@ -225,14 +253,18 @@ def _default_fanout(docs: DataFrame) -> int:
     return max(1, math.isqrt(max(int(n_parts), 1)))
 
 
-def _merge_partials(part: DataFrame, merge_fanout: int) -> DataFrame:
+def _merge_partials(
+    part: DataFrame, merge_fanout: int, sketch_params: tuple | None = None
+) -> DataFrame:
     """The salted two-level merge tail shared by the one-shot and
     checkpointed builds (partials → one sketch-row per key)."""
     if merge_fanout > 1:
         part = part.groupBy("key", "salt").applyInPandas(
-            _merge_fn(keep_salt=True), _PARTIAL_SCHEMA
+            _merge_fn(keep_salt=True, sketch_params=sketch_params), _PARTIAL_SCHEMA
         )
-    return part.groupBy("key").applyInPandas(_merge_fn(), SKETCH_ROW_SCHEMA)
+    return part.groupBy("key").applyInPandas(
+        _merge_fn(sketch_params=sketch_params), SKETCH_ROW_SCHEMA
+    )
 
 
 def sketch_by_key_checkpointed(
@@ -246,6 +278,7 @@ def sketch_by_key_checkpointed(
     merge_fanout: int | None = None,
     snapshot_id: str | None = None,
     job_id: str | None = None,
+    sketch_params: tuple | None = None,
 ) -> DataFrame:
     """``sketch_by_key`` with per-partition checkpoint + resume — the
     north rule's mid-build resumability for the standalone sketch surface
@@ -287,7 +320,8 @@ def sketch_by_key_checkpointed(
     n_parts = docs.rdd.getNumPartitions()
     snap = snapshot_id or ";".join(sorted(docs.inputFiles()))
     param_fp = repr(
-        (key_col, text_col, distinct, shingle_w, merge_fanout, n_parts, _sketch_params())
+        (key_col, text_col, distinct, shingle_w, merge_fanout, n_parts,
+         _resolve_params(sketch_params))
     )
     snap_fp = (
         hashlib.md5((snap + "|" + param_fp).encode()).hexdigest() if snap else None
@@ -311,7 +345,7 @@ def sketch_by_key_checkpointed(
         }
     new_partials = _partials_df(
         docs, key_col, text_col, distinct, shingle_w, merge_fanout,
-        with_part_id=True, skip_partitions=skip,
+        with_part_id=True, skip_partitions=skip, sketch_params=sketch_params,
     )
     new_partials.write.mode("append" if resume else "overwrite").parquet(partials_path)
     if snap_fp is not None:
@@ -328,11 +362,15 @@ def sketch_by_key_checkpointed(
         "n_tokens",
     ).write.mode("overwrite").parquet(partials_path.rstrip("/") + "_lineage")
 
-    return _merge_partials(partials.select(*[f.name for f in _PARTIAL_SCHEMA.fields]), merge_fanout)
+    return _merge_partials(
+        partials.select(*[f.name for f in _PARTIAL_SCHEMA.fields]),
+        merge_fanout,
+        sketch_params,
+    )
 
 
-def _merge_fn(keep_salt: bool = False):
-    p, cw, cd = _sketch_params()
+def _merge_fn(keep_salt: bool = False, sketch_params: tuple | None = None):
+    p, cw, cd = _resolve_params(sketch_params)
     cols = [_COLS[0]] + (["salt"] if keep_salt else []) + _COLS[1:]
 
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -368,7 +406,9 @@ def _merge_fn(keep_salt: bool = False):
     return fn
 
 
-def merge_sketch_rows(*sketch_rows: DataFrame) -> DataFrame:
+def merge_sketch_rows(
+    *sketch_rows: DataFrame, sketch_params: tuple | None = None
+) -> DataFrame:
     """Fold k independently built ``sketch_by_key`` results into one
     (cross-corpus / incremental aggregation — the ``merge_registries``
     analog).  One union + one sketch-sized shuffle."""
@@ -380,7 +420,9 @@ def merge_sketch_rows(*sketch_rows: DataFrame) -> DataFrame:
     uni = sketch_rows[0]
     for r in sketch_rows[1:]:
         uni = uni.unionByName(r)
-    return uni.groupBy("key").applyInPandas(_merge_fn(), SKETCH_ROW_SCHEMA)
+    return uni.groupBy("key").applyInPandas(
+        _merge_fn(sketch_params=sketch_params), SKETCH_ROW_SCHEMA
+    )
 
 
 _EST_SCHEMA = T.StructType(
@@ -398,7 +440,8 @@ _QS = (0.1, 0.25, 0.5, 0.75, 0.9)
 
 
 def sketch_estimates(
-    sketch_rows: DataFrame, quantiles: tuple = _QS
+    sketch_rows: DataFrame, quantiles: tuple = _QS,
+    sketch_params: tuple | None = None,
 ) -> DataFrame:
     """Decode sketch rows into estimates: HLL distinct count + KLL and
     t-digest length quantiles.  Runs where the rows live (mapInPandas) —
@@ -406,7 +449,7 @@ def sketch_estimates(
     from ..session import ensure_workers
 
     ensure_workers(sketch_rows.sparkSession)
-    p, cw, cd = _sketch_params()
+    p, cw, cd = _resolve_params(sketch_params)
     qs = list(quantiles)
 
     def est(batches):
@@ -435,7 +478,10 @@ def sketch_estimates(
     return sketch_rows.mapInPandas(est, _EST_SCHEMA)
 
 
-def cms_token_counts(sketch_rows: DataFrame, tokens: list[str]) -> DataFrame:
+def cms_token_counts(
+    sketch_rows: DataFrame, tokens: list[str],
+    sketch_params: tuple | None = None,
+) -> DataFrame:
     """Estimated frequency of each queried token per key:
     (key, token, est_count).  The token list is driver-provided (a
     dashboard / vocabulary probe), hashed once and closed over."""
@@ -444,7 +490,7 @@ def cms_token_counts(sketch_rows: DataFrame, tokens: list[str]) -> DataFrame:
 
     ensure_workers(sketch_rows.sparkSession)
 
-    p, cw, cd = _sketch_params()
+    p, cw, cd = _resolve_params(sketch_params)
     toks = list(tokens)
     hashes = np.asarray(hash_tokens(toks), dtype=np.uint64)
     schema = T.StructType(
@@ -491,6 +537,7 @@ def sketch_bounds_report(
     key_col: str = "lang",
     text_col: str = "text",
     top_tokens: int = 5,
+    sketch_params: tuple | None = None,
 ) -> DataFrame:
     """Published-bound audit of a ``sketch_by_key`` result against exact
     Spark aggregates of the same corpus — the standalone-library analog of
@@ -510,8 +557,8 @@ def sketch_bounds_report(
     from ..sources.tables import tokens_col
     from .sketch_audit import _QS as AUDIT_QS
 
-    p, cw, cd = _sketch_params()
-    rows = sketch_by_key(docs, key_col, text_col)
+    p, cw, cd = _resolve_params(sketch_params)
+    rows = sketch_by_key(docs, key_col, text_col, sketch_params=sketch_params)
 
     base = docs.filter(
         F.col(key_col).isNotNull() & F.col(text_col).isNotNull()

@@ -302,3 +302,83 @@ class TestSketchCheckpoint:
         self._assert_same(first, again)
         want = _rows(sketch_by_key(corpus, key_col="lang", merge_fanout=2))
         self._assert_same(again, want)
+
+
+class TestHighCardinalityParams:
+    """``sketch_params`` — the high-cardinality-key memory knob: compact
+    sketch sizes make 10^4-10^5-key audits (per-host/per-domain) tractable
+    (~18 KB/key at (10, 512, 4) vs ~340 KB at registry defaults), with the
+    same mergeable contracts."""
+
+    PARAMS = (10, 512, 4)
+
+    def test_partition_invariance_and_size(self, spark):
+        n_keys, docs_per_key = 20_000, 2
+        base = spark.range(n_keys * docs_per_key).select(
+            F.concat(F.lit("host"), (F.col("id") % n_keys).cast("string")).alias("host"),
+            F.concat(F.lit("tok"), (F.col("id") * 7919 % 97).cast("string"),
+                     F.lit(" tok"), (F.col("id") * 104729 % 89).cast("string"),
+                     F.lit(" tok"), (F.col("id") % 83).cast("string")).alias("text"),
+        ).repartition(32, "host").cache()
+        rows = sketch_by_key(
+            base, key_col="host", text_col="text", sketch_params=self.PARAMS
+        ).cache()
+        assert rows.count() == n_keys
+        # compact rows: HLL 2^10 registers + CMS 512x4 counters ≈ 18 KB
+        sz = rows.select(
+            (F.length("hll") + F.length("cms") + F.length("kll") + F.length("tdigest")).alias("b")
+        ).agg(F.max("b")).collect()[0][0]
+        assert sz < 40_000, f"compact sketch row unexpectedly large: {sz} B"
+        # partition invariance holds at the compact parameters too
+        probe = base.filter(F.col("host").isin("host0", "host7", "host19999"))
+        a = _rows(sketch_by_key(probe.repartition(1), key_col="host",
+                                text_col="text", sketch_params=self.PARAMS))
+        b = _rows(rows.filter(F.col("key").isin("host0", "host7", "host19999")))
+        for k in a:
+            assert bytes(a[k]["hll"]) == bytes(b[k]["hll"])
+            assert bytes(a[k]["cms"]) == bytes(b[k]["cms"])
+            assert a[k]["n_docs"] == b[k]["n_docs"]
+        base.unpersist()
+        rows.unpersist()
+
+    def test_bounds_report_20k_keys(self, spark):
+        """The audit completes over a 20k-key column with every exact
+        counter correct and every sketch inside its (parameterized)
+        published bound — no driver-side key-space materialization."""
+        n_keys = 20_000
+        docs = spark.range(n_keys * 2).select(
+            F.concat(F.lit("h"), (F.col("id") % n_keys).cast("string")).alias("host"),
+            F.concat(F.lit("a"), (F.col("id") % 11).cast("string"),
+                     F.lit(" b"), (F.col("id") % 13).cast("string")).alias("text"),
+        ).repartition(32, "host")
+        rep = sketch_bounds_report(
+            spark, docs, key_col="host", text_col="text", sketch_params=self.PARAMS
+        )
+        agg = rep.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("hll_ok").cast("long")).alias("hll"),
+            F.sum(F.col("cms_ok").cast("long")).alias("cms"),
+            F.sum(F.col("kll_ok").cast("long")).alias("kll"),
+            F.sum(F.col("tdigest_ok").cast("long")).alias("td"),
+            F.sum("n_docs").alias("docs"),
+        ).collect()[0]
+        assert agg["n"] == n_keys
+        assert agg["docs"] == n_keys * 2
+        assert agg["hll"] == agg["cms"] == agg["kll"] == agg["td"] == n_keys
+
+    def test_reader_param_mismatch_is_caught(self, spark):
+        docs = spark.range(40).select(
+            F.lit("k").alias("k"),
+            F.concat(F.lit("w"), (F.col("id") % 7).cast("string")).alias("text"),
+        )
+        rows = sketch_by_key(docs, key_col="k", text_col="text",
+                             sketch_params=self.PARAMS)
+        with pytest.raises(Exception):
+            # defaults (8192x5 CMS) cannot deserialize 512x4 payloads
+            cms_token_counts(rows, ["w1"]).collect()
+
+    def test_implausible_params_rejected(self, spark, corpus):
+        with pytest.raises(ValueError):
+            sketch_by_key(corpus, key_col="lang", sketch_params=(2, 512, 4))
+        with pytest.raises(ValueError):
+            sketch_by_key(corpus, key_col="lang", sketch_params=(10, 8, 4))
