@@ -133,24 +133,41 @@ def bandwidth_probe(n_cores: int) -> dict:
     }
 
 
-def wait_for_calm(n_cores: int, gate: float, timeout_s: float) -> float:
+def wait_for_calm(
+    n_cores: int, gate: float, timeout_s: float, bw_gate: float = 0.0
+) -> float:
     """Block until two consecutive probes ~30 s apart both read >= gate
     (one calm probe means nothing on this host — BENCH.md's 01:16 run saw
     0.85/0.96 probes 20 s before a collapsed window; two in a row is the
-    cheapest persistence test).  Returns the last reading (gated or not —
+    cheapest persistence test).  ``bw_gate`` > 0 additionally requires the
+    bandwidth scaling ratio >= bw_gate on both reads — the 11:50 run
+    measured calm CPU probes while aggregate DRAM bandwidth under
+    concurrency was throttled 2.2x, the axis that actually poisons the
+    high-core Spark side.  Returns the last CPU reading (gated or not —
     on timeout the caller proceeds and the table's annotation says so)."""
+
+    def calm_read() -> tuple[float, bool]:
+        c = quick_probe(n_cores)
+        if c < gate:
+            return c, False
+        if bw_gate > 0.0:
+            bw = bandwidth_probe(n_cores)["bw_scaling_ratio"]
+            if bw < bw_gate:
+                return c, False
+        return c, True
+
     deadline = time.time() + timeout_s
-    last = quick_probe(n_cores)
+    last, ok = calm_read()
     while time.time() < deadline:
-        if last >= gate:
+        if ok:
             time.sleep(30)
-            second = quick_probe(n_cores)
-            if second >= gate:
+            second, ok2 = calm_read()
+            if ok2:
                 return second
-            last = second
+            last, ok = second, ok2
             continue
         time.sleep(60)
-        last = quick_probe(n_cores)
+        last, ok = calm_read()
     return last
 
 
@@ -259,6 +276,10 @@ def main() -> None:
     )
     ap.add_argument("--gate-timeout", type=float, default=7200.0)
     ap.add_argument(
+        "--bw-gate", type=float, default=0.0,
+        help="also require bandwidth scaling ratio >= BW_GATE at launch",
+    )
+    ap.add_argument(
         "--phases", default="build,categorize",
         help="comma list; 'build' alone halves a sample's weather exposure",
     )
@@ -270,8 +291,11 @@ def main() -> None:
 
     prepare(args.docs)
     if args.gate is not None:
-        launch_ceiling = wait_for_calm(args.n_cores, args.gate, args.gate_timeout)
-        print(json.dumps({"gate": args.gate, "launch_ceiling": launch_ceiling}))
+        launch_ceiling = wait_for_calm(
+            args.n_cores, args.gate, args.gate_timeout, bw_gate=args.bw_gate
+        )
+        print(json.dumps({"gate": args.gate, "bw_gate": args.bw_gate,
+                          "launch_ceiling": launch_ceiling}))
     # interleave reps across core counts: host throughput drifts over
     # minutes (shared VM), so 8c and 32c must sample the same weather
     samples = {args.n_cores: [], 4 * args.n_cores: []}
