@@ -1,0 +1,419 @@
+"""Pure-stdlib media codecs: PNG / BMP / PNM images and RIFF-WAVE audio.
+
+No third-party codec library (pillow, torchaudio, opencv) ships in this
+container, but the stdlib that does ship — ``zlib``, ``struct``,
+``wave`` — is enough to implement the *baseline profiles* of the
+standard formats exactly from their public specifications:
+
+- **PNG** (W3C PNG spec / RFC 2083): bit depth 8, colour types 0
+  (greyscale), 2 (truecolour), 3 (indexed + ``PLTE``), 4 (grey+alpha),
+  6 (truecolour+alpha), non-interlaced, all five scanline filters
+  (None / Sub / Up / Average / Paeth).
+- **BMP** (``BITMAPINFOHEADER``): uncompressed 24/32-bit ``BI_RGB``,
+  bottom-up or top-down.
+- **PNM** (netpbm ``P5`` greymap / ``P6`` pixmap): binary, maxval ≤ 255,
+  comment-tolerant headers.
+- **WAV** (RIFF PCM, via stdlib ``wave``): 8/16/32-bit integer PCM, any
+  channel count.
+
+Decoders return numpy arrays — images ``(H, W, C) uint8``, audio
+``(frames, channels) int32`` — so the downstream feature UDFs stay
+vectorized.  Every decoder has a matching encoder so the test suite can
+prove *exact* roundtrips, including each PNG filter inverse (the encoder
+takes a forced per-row filter list).
+
+Scope notes (honest limits, enforced with ``ValueError``): PNG bit
+depths other than 8, interlaced PNGs, paletted BMPs, RLE BMPs, float
+PCM and 24-bit PCM WAV are rejected, not mis-decoded.  JPEG and every
+video codec need entropy-coding/DSP libraries that are genuinely absent
+from this container and stay behind the ``stub`` decoder in
+``operators/multimodal.py``.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+
+__all__ = [
+    "sniff",
+    "decode_image",
+    "decode_png",
+    "encode_png",
+    "decode_bmp",
+    "encode_bmp",
+    "decode_pnm",
+    "encode_pnm",
+    "decode_wav",
+    "encode_wav",
+    "resize_nearest",
+]
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: colour type → channels (bit depth 8 only)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_COLORTYPE = {1: 0, 2: 4, 3: 2, 4: 6}  # channels → colour type (encode)
+
+
+def sniff(blob: bytes | None) -> str | None:
+    """Magic-number format sniff: ``png``/``bmp``/``pnm``/``wav``/``bbmm``
+    (the engine's synthetic test format) or ``None``."""
+    if not blob or len(blob) < 12:
+        return None
+    if blob[:8] == _PNG_SIG:
+        return "png"
+    if blob[:2] == b"BM":
+        return "bmp"
+    if blob[:2] in (b"P5", b"P6") and blob[2:3].isspace():
+        return "pnm"
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        return "wav"
+    if blob[:4] == b"BBMM":
+        return "bbmm"
+    return None
+
+
+def decode_image(blob: bytes) -> np.ndarray:
+    """Dispatch on magic → ``(H, W, C) uint8``.  Raises ``ValueError`` for
+    unknown or audio blobs."""
+    kind = sniff(blob)
+    if kind == "png":
+        return decode_png(blob)
+    if kind == "bmp":
+        return decode_bmp(blob)
+    if kind == "pnm":
+        return decode_pnm(blob)
+    raise ValueError(f"not a decodable image format: {kind!r}")
+
+
+# ---------------------------------------------------------------------------
+# PNG
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _unfilter_row(f: int, raw: np.ndarray, prior: np.ndarray, bpp: int) -> np.ndarray:
+    """Invert one PNG scanline filter.  ``raw``/``prior`` are uint8 vectors
+    of length W*bpp (``prior`` is the *reconstructed* previous row, zeros
+    for the first).  uint8 arithmetic wraps — exactly PNG's mod-256."""
+    if f == 0:
+        return raw.copy()
+    if f == 2:  # Up
+        return raw + prior
+    if f == 1:  # Sub: recon[i] = raw[i] + recon[i-bpp] → per-phase cumsum
+        out = raw.copy()
+        for p in range(bpp):
+            np.cumsum(out[p::bpp], dtype=np.uint8, out=out[p::bpp])
+        return out
+    out = np.empty_like(raw)
+    w = raw.size // bpp
+    if f == 3:  # Average: + floor((left + up) / 2) in full precision
+        left = np.zeros(bpp, dtype=np.int32)
+        for x in range(w):
+            s = slice(x * bpp, (x + 1) * bpp)
+            rec = (raw[s].astype(np.int32) + (left + prior[s]) // 2) & 0xFF
+            out[s] = rec.astype(np.uint8)
+            left = rec
+        return out
+    if f == 4:  # Paeth
+        left = np.zeros(bpp, dtype=np.int32)
+        upleft = np.zeros(bpp, dtype=np.int32)
+        for x in range(w):
+            s = slice(x * bpp, (x + 1) * bpp)
+            up = prior[s].astype(np.int32)
+            pred = np.array(
+                [_paeth(int(left[i]), int(up[i]), int(upleft[i])) for i in range(bpp)],
+                dtype=np.int32,
+            )
+            rec = (raw[s].astype(np.int32) + pred) & 0xFF
+            out[s] = rec.astype(np.uint8)
+            left, upleft = rec, up
+        return out
+    raise ValueError(f"unknown PNG filter type {f}")
+
+
+def _filter_row(f: int, recon: np.ndarray, prior: np.ndarray, bpp: int) -> np.ndarray:
+    """Apply one PNG scanline filter (the encode direction)."""
+    if f == 0:
+        return recon.copy()
+    shifted = np.zeros_like(recon)
+    shifted[bpp:] = recon[:-bpp]
+    if f == 1:
+        return recon - shifted
+    if f == 2:
+        return recon - prior
+    if f == 3:
+        avg = (shifted.astype(np.int32) + prior.astype(np.int32)) // 2
+        return (recon.astype(np.int32) - avg).astype(np.uint8)
+    if f == 4:
+        prior_shift = np.zeros_like(prior)
+        prior_shift[bpp:] = prior[:-bpp]
+        pred = np.array(
+            [
+                _paeth(int(shifted[i]), int(prior[i]), int(prior_shift[i]))
+                for i in range(recon.size)
+            ],
+            dtype=np.int32,
+        )
+        return (recon.astype(np.int32) - pred).astype(np.uint8)
+    raise ValueError(f"unknown PNG filter type {f}")
+
+
+def _png_chunks(blob: bytes):
+    pos = 8
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        ctype = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        yield ctype, data
+        pos += 12 + length  # length + type + data + CRC
+        if ctype == b"IEND":
+            return
+    raise ValueError("PNG missing IEND")
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """PNG → ``(H, W, C) uint8`` (palette images expand to RGB, C=3)."""
+    if blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    width = height = None
+    colortype = None
+    palette = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(blob):
+        if ctype == b"IHDR":
+            width, height, depth, colortype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {depth} (only 8)")
+            if colortype not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported PNG colour type {colortype}")
+            if comp != 0 or filt != 0:
+                raise ValueError("nonstandard PNG compression/filter method")
+            if interlace != 0:
+                raise ValueError("interlaced PNG unsupported")
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    bpp = _PNG_CHANNELS[colortype]
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = 1 + width * bpp
+    if raw.size != height * stride:
+        raise ValueError("PNG pixel data size mismatch")
+    rows = raw.reshape(height, stride)
+    out = np.empty((height, width * bpp), dtype=np.uint8)
+    prior = np.zeros(width * bpp, dtype=np.uint8)
+    for y in range(height):
+        prior = _unfilter_row(int(rows[y, 0]), rows[y, 1:], prior, bpp)
+        out[y] = prior
+    img = out.reshape(height, width, bpp)
+    if colortype == 3:
+        if palette is None:
+            raise ValueError("indexed PNG missing PLTE")
+        img = palette[img[:, :, 0]]
+    return img
+
+
+def encode_png(img: np.ndarray, row_filters=None) -> bytes:
+    """``(H, W, C) uint8`` → PNG bytes.  ``row_filters`` forces the filter
+    type per row (int or list, default 0) — the test hook that exercises
+    every decoder filter path."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    if c not in _PNG_COLORTYPE:
+        raise ValueError(f"unsupported channel count {c}")
+    if row_filters is None:
+        row_filters = [0] * h
+    elif isinstance(row_filters, int):
+        row_filters = [row_filters] * h
+    flat = img.reshape(h, w * c)
+    lines = bytearray()
+    prior = np.zeros(w * c, dtype=np.uint8)
+    for y in range(h):
+        f = int(row_filters[y])
+        lines.append(f)
+        lines.extend(_filter_row(f, flat[y], prior, c).tobytes())
+        prior = flat[y]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _PNG_COLORTYPE[c], 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BMP
+
+
+def decode_bmp(blob: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit ``BI_RGB`` BMP → ``(H, W, 3|4) uint8``."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack("<I", blob[10:14])
+    (hdr_size,) = struct.unpack("<I", blob[14:18])
+    if hdr_size < 40:
+        raise ValueError("pre-BITMAPINFOHEADER BMP unsupported")
+    width, height = struct.unpack("<ii", blob[18:26])
+    planes, bitcount = struct.unpack("<HH", blob[26:30])
+    (compression,) = struct.unpack("<I", blob[30:34])
+    if compression != 0 or bitcount not in (24, 32):
+        raise ValueError(f"unsupported BMP: {bitcount}-bit compression={compression}")
+    bottom_up = height > 0
+    height = abs(height)
+    nchan = bitcount // 8
+    row_bytes = (width * nchan + 3) & ~3  # rows pad to 4 bytes
+    pix = np.frombuffer(blob, dtype=np.uint8, count=height * row_bytes, offset=data_off)
+    rows = pix.reshape(height, row_bytes)[:, : width * nchan]
+    img = rows.reshape(height, width, nchan)
+    if bottom_up:
+        img = img[::-1]
+    # BGR(A) → RGB(A)
+    img = img[:, :, [2, 1, 0] + ([3] if nchan == 4 else [])]
+    return np.ascontiguousarray(img)
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """``(H, W, 3) uint8`` → 24-bit bottom-up BMP."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("encode_bmp writes 24-bit RGB only")
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, [2, 1, 0]].reshape(h, w * 3)  # bottom-up BGR
+    data = rows.tobytes()
+    off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + dib + data
+
+
+# ---------------------------------------------------------------------------
+# PNM (netpbm binary)
+
+
+def decode_pnm(blob: bytes) -> np.ndarray:
+    """``P5`` (grey) / ``P6`` (RGB) binary netpbm, maxval ≤ 255."""
+    magic = blob[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError("not a binary PNM")
+    pos = 2
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        while pos < len(blob) and blob[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(blob) and blob[pos : pos + 1] == b"#":  # comment to EOL
+            while pos < len(blob) and blob[pos] not in (0x0A, 0x0D):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PNM header")
+        tokens.append(int(blob[start:pos]))
+    pos += 1  # exactly one whitespace byte before the raster
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PNM unsupported")
+    c = 1 if magic == b"P5" else 3
+    pix = np.frombuffer(blob, dtype=np.uint8, count=h * w * c, offset=pos)
+    return pix.reshape(h, w, c).copy()
+
+
+def encode_pnm(img: np.ndarray, comment: str | None = None) -> bytes:
+    """``(H, W, 1|3) uint8`` → binary ``P5``/``P6``."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    if c not in (1, 3):
+        raise ValueError("PNM is grey or RGB only")
+    magic = b"P5" if c == 1 else b"P6"
+    head = magic + b"\n"
+    if comment:
+        head += b"# " + comment.encode() + b"\n"
+    head += f"{w} {h}\n255\n".encode()
+    return head + img.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM via stdlib `wave`)
+
+
+def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
+    """RIFF PCM WAV → ``((frames, channels) int32, sample_rate)``.
+
+    8-bit PCM is unsigned per the RIFF spec and is centred to [-128, 127];
+    16/32-bit are signed little-endian.  24-bit and float PCM raise."""
+    with wave.open(io.BytesIO(blob), "rb") as f:
+        nch, sw, rate, nframes = f.getnchannels(), f.getsampwidth(), f.getframerate(), f.getnframes()
+        raw = f.readframes(nframes)
+    if sw == 1:
+        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 128
+    elif sw == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.int32)
+    elif sw == 4:
+        samples = np.frombuffer(raw, dtype="<i4").astype(np.int32)
+    else:
+        raise ValueError(f"unsupported WAV sample width {sw} bytes")
+    return samples.reshape(-1, nch), rate
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """``(frames, channels)`` int → 16-bit PCM WAV bytes."""
+    samples = np.asarray(samples)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(samples.shape[1])
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(np.ascontiguousarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# Resize
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbour resample to ``(out_h, out_w, C)`` — pure index
+    map (pixel-centre convention: source index ``floor((i + 0.5) * scale)``),
+    deterministic and exact for integral upscales."""
+    h, w = img.shape[:2]
+    ys = np.minimum(((np.arange(out_h) + 0.5) * (h / out_h)).astype(np.int64), h - 1)
+    xs = np.minimum(((np.arange(out_w) + 0.5) * (w / out_w)).astype(np.int64), w - 1)
+    return np.ascontiguousarray(img[ys[:, None], xs[None, :]])

@@ -513,3 +513,103 @@ class TestMultimodal:
         frames = sample_frames(media, every_n=10, decoder="fake").collect()
         assert {r["doc_id"] for r in frames} == {1}  # only the video row
         assert sorted(r["frame_no"] for r in frames) == list(range(0, 100, 10))
+
+    def test_fake_resize_rewrites_dims(self, spark, media):
+        from biobloom_spark.operators.multimodal import resize_images
+
+        res = {
+            r["doc_id"]: r["media_resized"]
+            for r in resize_images(media, out_h=16, out_w=12, decoder="fake").collect()
+        }
+        meta = {
+            r["doc_id"]: r["media_meta"]
+            for r in decode_media_meta(
+                spark.createDataFrame(
+                    [(k, v) for k, v in res.items() if v is not None],
+                    "doc_id long, media binary",
+                ),
+                decoder="fake",
+            ).collect()
+        }
+        assert meta[0]["width"] == 12 and meta[0]["height"] == 16
+        assert 1 not in meta  # video row is not an image → null
+        assert res[2] is None and res[3] is None
+
+
+class TestMultimodalStdlibCodecs:
+    """The ``stdlib`` decoder path: REAL PNG/BMP/PNM/WAV decode inside the
+    Spark plumbing (functions/codecs.py — pure stdlib + numpy)."""
+
+    @pytest.fixture(scope="class")
+    def real_media(self, spark):
+        from biobloom_spark.functions.codecs import (
+            encode_bmp,
+            encode_png,
+            encode_pnm,
+            encode_wav,
+        )
+
+        rng = np.random.default_rng(1234)
+        img = rng.integers(0, 256, size=(24, 17, 3), dtype=np.uint8)
+        audio = rng.integers(-20000, 20000, size=(800, 2)).astype(np.int16)
+        rows = [
+            (0, encode_png(img, row_filters=[0, 1, 2, 3, 4] * 4 + [2, 4, 1, 3])),
+            (1, encode_bmp(img)),                        # same pixels, other container
+            (2, encode_pnm(img)),
+            (3, encode_wav(audio, 16000)),
+            (4, b"\x89PNG\r\n\x1a\nBUTTRUNCATED"),       # corrupt: sniffs, fails decode
+            (5, b"NOTMEDIA"),                             # corrupt: fails sniff
+            (6, None),                                    # null
+            (7, synthesize_media(7, 0, 64, 32, 1)),       # synthetic rides along
+        ]
+        return spark.createDataFrame(rows, "doc_id long, media binary").cache()
+
+    def test_stdlib_decode_meta(self, spark, real_media):
+        res = {
+            r["doc_id"]: r["media_meta"]
+            for r in decode_media_meta(real_media, decoder="stdlib").collect()
+        }
+        for i in (0, 1, 2):  # PNG / BMP / PNM all really decoded
+            assert res[i]["kind"] == "image"
+            assert (res[i]["width"], res[i]["height"]) == (17, 24)
+            assert res[i]["n_frames"] == 1
+        assert res[3]["kind"] == "audio"
+        assert res[3]["width"] == 2 and res[3]["n_frames"] == 800  # channels, frames
+        assert res[4]["valid"] is False  # truncated PNG → invalid row, not a crash
+        assert res[5]["valid"] is False and res[6]["valid"] is False
+        assert res[7]["kind"] == "image" and res[7]["width"] == 64  # bbmm passthrough
+
+    def test_stdlib_features_container_invariance(self, spark, real_media):
+        res = {
+            r["doc_id"]: r["features"]
+            for r in extract_features(real_media, dim=16, decoder="stdlib").collect()
+        }
+        # identical pixels through PNG, BMP and PNM → identical feature vector
+        assert res[0] == res[1] == res[2]
+        assert len(res[0]) == 16 and abs(sum(x * x for x in res[0]) - 1.0) < 1e-5
+        # audio features: real RMS windows, normalized
+        assert len(res[3]) == 16 and abs(sum(x * x for x in res[3]) - 1.0) < 1e-5
+        assert res[4] is None and res[5] is None and res[6] is None
+        assert res[7] is not None  # synthetic falls back to the payload histogram
+
+    def test_stdlib_resize_roundtrip(self, spark, real_media):
+        from biobloom_spark.functions.codecs import decode_png, resize_nearest
+        from biobloom_spark.operators.multimodal import resize_images
+
+        res = {
+            r["doc_id"]: r["media_resized"]
+            for r in resize_images(
+                real_media, out_h=8, out_w=6, decoder="stdlib"
+            ).collect()
+        }
+        rng = np.random.default_rng(1234)
+        img = rng.integers(0, 256, size=(24, 17, 3), dtype=np.uint8)
+        expect = resize_nearest(img, 8, 6)
+        for i in (0, 1, 2):  # every container decodes, resizes, re-encodes as PNG
+            out = decode_png(bytes(res[i]))
+            np.testing.assert_array_equal(out, expect)
+        assert res[3] is None and res[4] is None and res[6] is None  # audio/corrupt/null
+
+    def test_stdlib_frame_sampling_honestly_raises(self, spark, real_media):
+        with pytest.raises(Exception, match="video codec|NotImplementedError"):
+            sample_frames(real_media, decoder="stdlib").collect()
