@@ -14,6 +14,8 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -552,6 +554,79 @@ def q_language_id_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-codec roundtrip oracle: per doc, synthesize a media blob whose
+    every parameter is an arithmetic function of ``doc_id`` — PNG / BMP /
+    WAV by ``doc_id % 3``, dimensions/channels/frames and a CONSTANT
+    fill value from modular formulas — then run the real stdlib decoders
+    (``functions/codecs.py`` via ``decode_media_meta(decoder='stdlib')``
+    + ``resize_images``) and report what they recover: kind, dimensions,
+    frame count, the decoded-content sum, and the resized dimensions.
+    DuckDB predicts every column analytically (pix_sum of a constant
+    image is fill x 3 x w x h; a WAV's sample_sum is fill x frames x
+    channels), so a codec that mis-decodes a single byte anywhere in the
+    encode → Spark plumbing → decode → resample chain fails the value
+    hash.  Map-only (one synthesize UDF + decode UDFs, zero shuffles)."""
+    from biobloom_spark.functions import codecs
+    from biobloom_spark.operators.multimodal import decode_media_meta, resize_images
+    from biobloom_spark.session import ensure_workers
+
+    ensure_workers(spark)
+
+    @F.pandas_udf("binary")
+    def synth(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            fill, w, h = i % 251, 4 + i % 9, 3 + i % 7
+            if i % 3 == 0:
+                img = np.full((h, w, 3), fill, dtype=np.uint8)
+                out.append(codecs.encode_png(img, row_filters=i % 5))
+            elif i % 3 == 1:
+                img = np.full((h, w, 3), fill, dtype=np.uint8)
+                out.append(codecs.encode_bmp(img))
+            else:
+                ch, fr = 1 + i % 2, 50 + i % 100
+                out.append(
+                    codecs.encode_wav(np.full((fr, ch), fill, dtype=np.int16), 8000)
+                )
+        return pd.Series(out)
+
+    @F.pandas_udf("long")
+    def content_sum(blobs: pd.Series) -> pd.Series:
+        out = []
+        for blob in blobs:
+            blob = bytes(blob)
+            if codecs.sniff(blob) == "wav":
+                samples, _ = codecs.decode_wav(blob)
+                out.append(int(samples.sum()))
+            else:
+                out.append(int(codecs.decode_image(blob).sum(dtype=np.int64)))
+        return pd.Series(out)
+
+    media = _docs(spark, sf_dir).select("doc_id").withColumn("media", synth("doc_id"))
+    meta = decode_media_meta(media, decoder="stdlib")
+    resized = resize_images(meta, out_h=2, out_w=3, decoder="stdlib")
+
+    @F.pandas_udf("integer")
+    def rz_width(blobs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if b is None else codecs.decode_png(bytes(b)).shape[1] for b in blobs],
+            dtype="Int32",
+        )
+
+    return resized.select(
+        "doc_id",
+        F.col("media_meta.kind").alias("kind"),
+        F.col("media_meta.width").cast("long").alias("width"),
+        F.col("media_meta.height").cast("long").alias("height"),
+        F.col("media_meta.n_frames").cast("long").alias("n_frames"),
+        F.col("media_meta.valid").alias("valid"),
+        content_sum("media").alias("content_sum"),
+        rz_width("media_resized").cast("long").alias("rz_width"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sizing_prepass": q_sizing_prepass,
@@ -585,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mibf_classify_summary": q_mibf_classify_summary,
         "extract_text_hashes": q_extract_text_hashes,
         "language_id_summary": q_language_id_summary,
+        "multimodal_decode": q_multimodal_decode,
     }
 
 
@@ -1123,6 +1199,30 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(c.cluster, d.doc_id) AS cluster_id,
                    COALESCE(c.cluster, d.doc_id) = d.doc_id AS is_canonical
             FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        """,
+        # real-codec roundtrip: every synthesized parameter is an
+        # arithmetic function of doc_id, so DuckDB predicts what the
+        # stdlib PNG/BMP/WAV decoders must recover — including the
+        # decoded-content sum (constant-fill media) and the resized
+        # width after the decode→resample→PNG re-encode→decode chain
+        "multimodal_decode": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 2 THEN 'audio' ELSE 'image' END AS kind,
+                   CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 2
+                             ELSE 4 + doc_id % 9 END AS BIGINT) AS width,
+                   CAST(CASE WHEN doc_id % 3 = 2 THEN NULL
+                             ELSE 3 + doc_id % 7 END AS BIGINT) AS height,
+                   CAST(CASE WHEN doc_id % 3 = 2 THEN 50 + doc_id % 100
+                             ELSE 1 END AS BIGINT) AS n_frames,
+                   true AS valid,
+                   CAST(CASE WHEN doc_id % 3 = 2
+                             THEN (doc_id % 251) * (50 + doc_id % 100)
+                                  * (1 + doc_id % 2)
+                             ELSE (doc_id % 251) * 3 * (4 + doc_id % 9)
+                                  * (3 + doc_id % 7) END AS BIGINT) AS content_sum,
+                   CAST(CASE WHEN doc_id % 3 = 2 THEN NULL
+                             ELSE 3 END AS BIGINT) AS rz_width
+            FROM documents
         """,
         # rows-only (approximate / hash-specific, pytest-verified instead):
         # simhash_dups (the hamming distance IS the output), ivf_topk
