@@ -15,6 +15,12 @@ standard formats exactly from their public specifications:
   comment-tolerant headers.
 - **WAV** (RIFF PCM, via stdlib ``wave``): 8/16/32-bit integer PCM, any
   channel count.
+- **GIF** (GIF87a/89a): full LZW decode (variable code width, clear/EOI,
+  the KwKwK case), global/local colour tables, interlacing, frame
+  composition honouring transparency and disposal methods 0-3 — i.e.
+  *animated* GIF decodes to a real frame stack, which gives the
+  multimodal ``sample_frames`` operator a genuinely decodable moving-
+  picture format.
 
 Decoders return numpy arrays — images ``(H, W, C) uint8``, audio
 ``(frames, channels) int32`` — so the downstream feature UDFs stay
@@ -50,6 +56,8 @@ __all__ = [
     "encode_pnm",
     "decode_wav",
     "encode_wav",
+    "decode_gif",
+    "encode_gif",
     "resize_nearest",
 ]
 
@@ -72,6 +80,8 @@ def sniff(blob: bytes | None) -> str | None:
         return "pnm"
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         return "wav"
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if blob[:4] == b"BBMM":
         return "bbmm"
     return None
@@ -87,6 +97,9 @@ def decode_image(blob: bytes) -> np.ndarray:
         return decode_bmp(blob)
     if kind == "pnm":
         return decode_pnm(blob)
+    if kind == "gif":  # first composed frame, alpha dropped over black
+        frames, _delays = decode_gif(blob)
+        return np.ascontiguousarray(frames[0, :, :, :3])
     raise ValueError(f"not a decodable image format: {kind!r}")
 
 
@@ -403,6 +416,249 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
         f.setframerate(rate)
         f.writeframes(np.ascontiguousarray(samples, dtype="<i2").tobytes())
     return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# GIF (LZW)
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # (start, step) rows
+
+
+def _lzw_decode(data: bytes, min_code: int) -> bytearray:
+    """GIF-flavoured LZW: variable code width ``min_code+1``..12 bits,
+    LSB-first bit packing, CLEAR/EOI codes, and the KwKwK special case."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = list(base)
+                width = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]  # KwKwK
+            else:
+                raise ValueError(f"corrupt LZW stream: code {code}")
+            out += entry
+            if prev is not None:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return out
+
+
+def _lzw_encode(indices: bytes, min_code: int) -> bytes:
+    """Inverse of ``_lzw_decode``.  The decoder's string table runs one
+    entry behind the encoder's, so the width bump here triggers when the
+    *decoder's* table (len(table) - 1) fills the current width — that
+    off-by-one is the classic GIF interop bug, pinned by the roundtrip
+    tests crossing every width boundary and the 4096-entry reset."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    acc = nbits = 0
+    width = min_code + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    w = b""
+    for b in indices:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        table[wk] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4097:  # table full: reset mid-stream
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code + 1
+        w = wk[-1:]
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_subblocks(blob: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate a GIF sub-block chain starting at ``pos``; returns
+    (data, position after the 0 terminator)."""
+    chunks = []
+    while True:
+        n = blob[pos]
+        pos += 1
+        if n == 0:
+            return b"".join(chunks), pos
+        chunks.append(blob[pos : pos + n])
+        pos += n
+
+
+def _deinterlace(rows: np.ndarray) -> np.ndarray:
+    """Reorder interlaced GIF rows (4 passes) back to top-to-bottom."""
+    h = rows.shape[0]
+    order = [y for start, step in _GIF_INTERLACE_PASSES for y in range(start, h, step)]
+    out = np.empty_like(rows)
+    out[np.array(order)] = rows
+    return out
+
+
+def decode_gif(blob: bytes) -> tuple[np.ndarray, list[int]]:
+    """GIF87a/89a → ``((n_frames, H, W, 4) uint8 RGBA, delays)``.
+
+    Frames are *composed* onto the logical screen exactly as a viewer
+    renders them: each frame draws its (possibly partial, possibly
+    interlaced) patch through its transparency index, then applies its
+    disposal method — 0/1 leave, 2 restores the patch to transparent,
+    3 restores the pre-frame canvas.  Delays are per frame in
+    centiseconds (0 when no graphic control extension is present)."""
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    width, height, packed, _bg, _aspect = struct.unpack("<HHBBB", blob[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(blob, dtype=np.uint8, count=3 * n, offset=pos).reshape(-1, 3)
+        pos += 3 * n
+    canvas = np.zeros((height, width, 4), dtype=np.uint8)
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    transparent = None
+    disposal = 0
+    delay = 0
+    while pos < len(blob):
+        block = blob[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = blob[pos]
+            pos += 1
+            data, pos = _gif_subblocks(blob, pos)
+            if label == 0xF9 and len(data) >= 4:  # graphic control
+                flags, delay = struct.unpack("<BH", data[:3])
+                disposal = (flags >> 2) & 0x07
+                transparent = data[3] if flags & 0x01 else None
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        left, top, fw, fh, fpacked = struct.unpack("<HHHHB", blob[pos : pos + 9])
+        pos += 9
+        table = gct
+        if fpacked & 0x80:
+            n = 2 << (fpacked & 0x07)
+            table = np.frombuffer(
+                blob, dtype=np.uint8, count=3 * n, offset=pos
+            ).reshape(-1, 3)
+            pos += 3 * n
+        if table is None:
+            raise ValueError("GIF frame with no colour table")
+        min_code = blob[pos]
+        pos += 1
+        data, pos = _gif_subblocks(blob, pos)
+        idx = np.frombuffer(
+            bytes(_lzw_decode(data, min_code)), dtype=np.uint8, count=fw * fh
+        ).reshape(fh, fw)
+        if fpacked & 0x40:
+            idx = _deinterlace(idx)
+        saved = canvas.copy() if disposal == 3 else None
+        patch = np.empty((fh, fw, 4), dtype=np.uint8)
+        patch[:, :, :3] = table[idx]
+        patch[:, :, 3] = 255
+        region = canvas[top : top + fh, left : left + fw]
+        if transparent is not None:
+            opaque = idx != transparent
+            region[opaque] = patch[opaque]
+        else:
+            region[:] = patch
+        frames.append(canvas.copy())
+        delays.append(int(delay))
+        if disposal == 2:  # restore patch region to transparent
+            canvas[top : top + fh, left : left + fw] = 0
+        elif disposal == 3 and saved is not None:
+            canvas = saved
+        transparent, disposal, delay = None, 0, 0
+    if not frames:
+        raise ValueError("GIF contains no image frames")
+    return np.stack(frames), delays
+
+
+def encode_gif(
+    frames: np.ndarray, delays: list[int] | None = None, interlace: bool = False
+) -> bytes:
+    """``(n, H, W, 3) uint8`` (≤256 distinct colours across all frames) →
+    animated GIF89a with a global colour table, full-canvas frames and
+    disposal 1.  ``interlace=True`` writes rows in the 4-pass order (the
+    decoder-path test hook).  Raises if the palette exceeds 256."""
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    if frames.ndim == 3:
+        frames = frames[None]
+    n, h, w, c = frames.shape
+    if c != 3:
+        raise ValueError("encode_gif takes RGB frames")
+    colors, inverse = np.unique(frames.reshape(-1, 3), axis=0, return_inverse=True)
+    if colors.shape[0] > 256:
+        raise ValueError(f"GIF palette overflow: {colors.shape[0]} colours")
+    gct_bits = max(1, int(colors.shape[0] - 1).bit_length())
+    gct_n = 1 << gct_bits
+    palette = np.zeros((gct_n, 3), dtype=np.uint8)
+    palette[: colors.shape[0]] = colors
+    indices = inverse.astype(np.uint8).reshape(n, h, w)
+    if delays is None:
+        delays = [4] * n
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((gct_bits - 1) & 0x07), 0, 0)
+    out += palette.tobytes()
+    min_code = max(2, gct_bits)
+    for f in range(n):
+        out += b"\x21\xf9\x04" + struct.pack("<BHB", 1 << 2, int(delays[f]), 0) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+        rows = indices[f]
+        if interlace:
+            order = [
+                y for start, step in _GIF_INTERLACE_PASSES for y in range(start, h, step)
+            ]
+            rows = rows[np.array(order)]
+        out.append(min_code)
+        packed = _lzw_encode(rows.tobytes(), min_code)
+        for i in range(0, len(packed), 255):
+            chunk = packed[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------

@@ -87,6 +87,10 @@ def _stdlib_meta(blob):
         if kind in ("png", "bmp", "pnm"):
             img = codecs.decode_image(blob)
             return "image", int(img.shape[1]), int(img.shape[0]), 1
+        if kind == "gif":  # animated GIF is the stdlib-reachable video format
+            frames, _delays = codecs.decode_gif(blob)
+            n, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+            return ("video" if n > 1 else "image"), int(w), int(h), int(n)
         if kind == "wav":
             samples, _rate = codecs.decode_wav(blob)
             return "audio", int(samples.shape[1]), None, int(samples.shape[0])
@@ -186,7 +190,7 @@ def extract_features(
             if decoder == "stdlib":
                 kind = codecs.sniff(blob)
                 try:
-                    if kind in ("png", "bmp", "pnm"):
+                    if kind in ("png", "bmp", "pnm", "gif"):
                         img = codecs.decode_image(blob).astype(np.float64)
                         if img.shape[2] >= 3:  # RGB(A) → Rec. 601 luma
                             lum = img[:, :, :3] @ np.array([0.299, 0.587, 0.114])
@@ -262,7 +266,7 @@ def resize_images(
             blob = bytes(blob)
             if decoder == "stdlib":
                 try:
-                    if codecs.sniff(blob) in ("png", "bmp", "pnm"):
+                    if codecs.sniff(blob) in ("png", "bmp", "pnm", "gif"):
                         img = codecs.resize_nearest(codecs.decode_image(blob), out_h, out_w)
                         out.append(codecs.encode_png(img))
                     else:
@@ -292,36 +296,66 @@ def sample_frames(
     every_n: int = 10,
     decoder: str = "stub",
 ) -> DataFrame:
-    """Explode videos into sampled frame rows (id, frame_no).
+    """Explode videos into sampled frame rows (id, frame_no, frame_png).
 
     mapInPandas (not a scalar UDF) because output cardinality differs from
     input — one row per sampled frame, the real fan-out shape of a video
-    pipeline; the frame *pixels* would come from the codec (stubbed)."""
+    pipeline.
+
+    ``stdlib``: REALLY decodes animated GIFs (the one moving-picture
+    format a pure-stdlib LZW decoder reaches — ``functions/codecs.py``)
+    and emits each sampled *composed* frame re-encoded as PNG in a
+    ``frame_png`` binary column; single-frame/undecodable blobs emit no
+    rows.  ``fake``: frame numbers from the synthetic header,
+    ``frame_png`` null.  ``stub``: raises — MP4/WebM need ffmpeg-class
+    codecs this container genuinely lacks."""
     from ..session import ensure_workers
 
     ensure_workers(df.sparkSession)
     out_schema = T.StructType(
-        list(df.schema.fields) + [T.StructField("frame_no", T.IntegerType(), False)]
+        list(df.schema.fields)
+        + [
+            T.StructField("frame_no", T.IntegerType(), False),
+            T.StructField("frame_png", T.BinaryType(), True),
+        ]
     )
     cols = [f.name for f in df.schema.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if decoder in ("stub", "stdlib"):
+        if decoder == "stub":
             raise NotImplementedError(
-                "frame sampling requires a video codec (ffmpeg/pyav), which "
-                "no stdlib module provides — the 'stdlib' decoder covers "
-                "images and audio only; use decoder='fake' for the synthetic "
-                "format"
+                "frame sampling of MP4/WebM requires a video codec "
+                "(ffmpeg/pyav) absent from this container; use "
+                "decoder='stdlib' for animated GIF or decoder='fake' for "
+                "the synthetic format"
             )
+        if decoder == "stdlib":
+            from ..functions import codecs
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
-                hdr = _parse_header(bytes(row[media_col]) if row[media_col] is not None else None)
+                blob = bytes(row[media_col]) if row[media_col] is not None else None
+                if blob is None:
+                    continue
+                if decoder == "stdlib":
+                    if codecs.sniff(blob) != "gif":
+                        continue
+                    try:
+                        frames, _delays = codecs.decode_gif(blob)
+                    except Exception:
+                        continue
+                    if frames.shape[0] < 2:  # stills are not videos
+                        continue
+                    for frame in range(0, frames.shape[0], every_n):
+                        png = codecs.encode_png(frames[frame, :, :, :3])
+                        rows.append(tuple(row[c] for c in cols) + (frame, png))
+                    continue
+                hdr = _parse_header(blob)
                 if hdr is None or hdr[0] != "video":
                     continue
                 for frame in range(0, hdr[3], every_n):
-                    rows.append(tuple(row[c] for c in cols) + (frame,))
+                    rows.append(tuple(row[c] for c in cols) + (frame, None))
             if rows:
-                yield pd.DataFrame(rows, columns=cols + ["frame_no"])
+                yield pd.DataFrame(rows, columns=cols + ["frame_no", "frame_png"])
 
     return df.mapInPandas(run, schema=out_schema)

@@ -12,11 +12,13 @@ import pytest
 
 from biobloom_spark.functions.codecs import (
     decode_bmp,
+    decode_gif,
     decode_image,
     decode_png,
     decode_pnm,
     decode_wav,
     encode_bmp,
+    encode_gif,
     encode_png,
     encode_pnm,
     encode_wav,
@@ -159,6 +161,134 @@ class TestWAV:
             f.writeframes(bytes([0, 128, 255]))
         out, rate = decode_wav(buf.getvalue())
         np.testing.assert_array_equal(out[:, 0], [-128, 0, 127])
+
+
+class TestGIF:
+    def test_lzw_roundtrip_across_width_boundaries(self):
+        from biobloom_spark.functions.codecs import _lzw_decode, _lzw_encode
+
+        rng = np.random.default_rng(17)
+        for min_code, n in [(2, 50), (4, 500), (8, 3000), (8, 20000)]:
+            data = rng.integers(0, 1 << min_code, size=n, dtype=np.uint8).tobytes()
+            assert bytes(_lzw_decode(_lzw_encode(data, min_code), min_code)) == data
+
+    def test_lzw_table_reset_at_4096(self):
+        from biobloom_spark.functions.codecs import _lzw_decode, _lzw_encode
+
+        rng = np.random.default_rng(23)
+        # random 256-symbol data grows the table ~1 entry/symbol → several resets
+        data = rng.integers(0, 256, size=30000, dtype=np.uint8).tobytes()
+        packed = _lzw_encode(data, 8)
+        assert bytes(_lzw_decode(packed, 8)) == data
+
+    def test_lzw_kwkwk(self):
+        from biobloom_spark.functions.codecs import _lzw_decode, _lzw_encode
+
+        data = b"\x00" * 64  # runs force the code==len(table) special case
+        assert bytes(_lzw_decode(_lzw_encode(data, 2), 2)) == data
+
+    @pytest.mark.parametrize("interlace", [False, True])
+    def test_single_frame_roundtrip(self, interlace):
+        rng = np.random.default_rng(31)
+        palette = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+        img = palette[rng.integers(0, 16, size=(21, 13))]
+        frames, delays = decode_gif(encode_gif(img[None], interlace=interlace))
+        assert frames.shape == (1, 21, 13, 4)
+        np.testing.assert_array_equal(frames[0, :, :, :3], img)
+        assert (frames[0, :, :, 3] == 255).all()
+
+    def test_animated_roundtrip_and_delays(self):
+        rng = np.random.default_rng(37)
+        palette = rng.integers(0, 256, size=(64, 3), dtype=np.uint8)
+        frames_in = palette[rng.integers(0, 64, size=(5, 9, 11))]
+        frames, delays = decode_gif(encode_gif(frames_in, delays=[10, 20, 30, 40, 50]))
+        assert frames.shape == (5, 9, 11, 4)
+        np.testing.assert_array_equal(frames[:, :, :, :3], frames_in)
+        assert delays == [10, 20, 30, 40, 50]
+
+    def test_full_256_palette_roundtrip(self):
+        # every byte value as a grey level → 8-bit codes, wide LZW table
+        img = np.arange(256, dtype=np.uint8).reshape(16, 16)
+        rgb = np.stack([img, img, img], axis=-1)
+        frames, _ = decode_gif(encode_gif(rgb[None]))
+        np.testing.assert_array_equal(frames[0, :, :, :3], rgb)
+
+    def test_transparency_and_disposal_none(self):
+        """Hand-built 2-frame GIF: frame 2 is a partial patch whose
+        transparent pixels must show frame 1 through (disposal 1)."""
+        from biobloom_spark.functions.codecs import _lzw_encode
+
+        palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0])  # R G B pad
+        blob = bytearray(b"GIF89a")
+        blob += struct.pack("<HHBBB", 4, 4, 0x80 | 0x01, 0, 0)  # 4x4, GCT 4 entries
+        blob += palette
+
+        def frame(left, top, w, h, idx, transparent=None, disposal=1):
+            b = bytearray()
+            flags = (disposal << 2) | (1 if transparent is not None else 0)
+            b += b"\x21\xf9\x04" + struct.pack(
+                "<BHB", flags, 0, transparent if transparent is not None else 0
+            ) + b"\x00"
+            b += b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0)
+            b.append(2)
+            packed = _lzw_encode(bytes(idx), 2)
+            b.append(len(packed))
+            b += packed
+            b.append(0)
+            return b
+
+        blob += frame(0, 0, 4, 4, [0] * 16)  # all red
+        # 2x2 patch at (1,1): green except one transparent pixel (index 2)
+        blob += frame(1, 1, 2, 2, [1, 2, 1, 1], transparent=2)
+        blob.append(0x3B)
+        frames, _ = decode_gif(bytes(blob))
+        assert frames.shape == (2, 4, 4, 4)
+        assert tuple(frames[0, 0, 0, :3]) == (255, 0, 0)
+        assert tuple(frames[1, 1, 1, :3]) == (0, 255, 0)  # patch pixel
+        assert tuple(frames[1, 1, 2, :3]) == (255, 0, 0)  # transparent → red shows
+        assert tuple(frames[1, 2, 1, :3]) == (0, 255, 0)
+
+    def test_disposal_background_and_previous(self):
+        from biobloom_spark.functions.codecs import _lzw_encode
+
+        palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+        header = bytearray(b"GIF89a")
+        header += struct.pack("<HHBBB", 2, 2, 0x80 | 0x01, 0, 0)
+        header += palette
+
+        def frame(idx, disposal):
+            b = bytearray()
+            b += b"\x21\xf9\x04" + struct.pack("<BHB", disposal << 2, 0, 0) + b"\x00"
+            b += b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+            b.append(2)
+            packed = _lzw_encode(bytes(idx), 2)
+            b.append(len(packed))
+            b += packed
+            b.append(0)
+            return b
+
+        # disposal 2: after frame 1, canvas restores to transparent; frame 2
+        # has a transparent-ish pixel? simpler: frame 2 full → just check
+        # frame 1 rendered, then disposal 3 restores pre-frame canvas
+        blob = header + frame([0, 0, 0, 0], 2) + frame([1, 1, 1, 1], 3) + frame([2, 2, 2, 2], 0)
+        blob.append(0x3B)
+        frames, _ = decode_gif(bytes(blob))
+        assert tuple(frames[0, 0, 0, :3]) == (255, 0, 0)
+        assert tuple(frames[1, 0, 0, :3]) == (0, 255, 0)
+        assert tuple(frames[2, 0, 0, :3]) == (0, 0, 255)
+
+    def test_palette_overflow_raises(self):
+        rng = np.random.default_rng(41)
+        img = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)  # ~1024 colours
+        with pytest.raises(ValueError, match="palette overflow"):
+            encode_gif(img[None])
+
+    def test_sniff_and_decode_image_first_frame(self):
+        img = np.zeros((3, 3, 3), dtype=np.uint8)
+        img[1, 1] = (200, 100, 50)
+        blob = encode_gif(img[None])
+        assert sniff(blob) == "gif"
+        np.testing.assert_array_equal(decode_image(blob), img)
 
 
 class TestSniffAndResize:

@@ -544,6 +544,7 @@ class TestMultimodalStdlibCodecs:
     def real_media(self, spark):
         from biobloom_spark.functions.codecs import (
             encode_bmp,
+            encode_gif,
             encode_png,
             encode_pnm,
             encode_wav,
@@ -552,6 +553,8 @@ class TestMultimodalStdlibCodecs:
         rng = np.random.default_rng(1234)
         img = rng.integers(0, 256, size=(24, 17, 3), dtype=np.uint8)
         audio = rng.integers(-20000, 20000, size=(800, 2)).astype(np.int16)
+        palette = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+        anim = palette[rng.integers(0, 8, size=(5, 6, 7))]  # 5-frame 6x7 GIF
         rows = [
             (0, encode_png(img, row_filters=[0, 1, 2, 3, 4] * 4 + [2, 4, 1, 3])),
             (1, encode_bmp(img)),                        # same pixels, other container
@@ -561,6 +564,7 @@ class TestMultimodalStdlibCodecs:
             (5, b"NOTMEDIA"),                             # corrupt: fails sniff
             (6, None),                                    # null
             (7, synthesize_media(7, 0, 64, 32, 1)),       # synthetic rides along
+            (8, encode_gif(anim)),                        # animated GIF = real video
         ]
         return spark.createDataFrame(rows, "doc_id long, media binary").cache()
 
@@ -610,6 +614,29 @@ class TestMultimodalStdlibCodecs:
             np.testing.assert_array_equal(out, expect)
         assert res[3] is None and res[4] is None and res[6] is None  # audio/corrupt/null
 
-    def test_stdlib_frame_sampling_honestly_raises(self, spark, real_media):
+    def test_stdlib_decode_meta_gif_video(self, spark, real_media):
+        res = {
+            r["doc_id"]: r["media_meta"]
+            for r in decode_media_meta(real_media, decoder="stdlib").collect()
+        }
+        assert res[8]["kind"] == "video"
+        assert (res[8]["width"], res[8]["height"], res[8]["n_frames"]) == (7, 6, 5)
+
+    def test_stdlib_frame_sampling_really_decodes_gif(self, spark, real_media):
+        from biobloom_spark.functions.codecs import decode_png, encode_gif
+
+        rows = sample_frames(real_media, every_n=2, decoder="stdlib").collect()
+        assert {r["doc_id"] for r in rows} == {8}  # only the animated GIF fans out
+        got = {r["frame_no"]: bytes(r["frame_png"]) for r in rows}
+        assert sorted(got) == [0, 2, 4]
+        rng = np.random.default_rng(1234)
+        rng.integers(0, 256, size=(24, 17, 3), dtype=np.uint8)
+        rng.integers(-20000, 20000, size=(800, 2))
+        palette = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+        anim = palette[rng.integers(0, 8, size=(5, 6, 7))]
+        for f in (0, 2, 4):  # sampled frames decode to the exact source pixels
+            np.testing.assert_array_equal(decode_png(got[f]), anim[f])
+
+    def test_stub_frame_sampling_still_raises(self, spark, real_media):
         with pytest.raises(Exception, match="video codec|NotImplementedError"):
-            sample_frames(real_media, decoder="stdlib").collect()
+            sample_frames(real_media, decoder="stub").collect()
