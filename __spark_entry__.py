@@ -557,7 +557,8 @@ def q_language_id_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real-codec roundtrip oracle: per doc, synthesize a media blob whose
     every parameter is an arithmetic function of ``doc_id`` — PNG / BMP /
-    WAV / animated GIF (LZW, half of them interlaced) by ``doc_id % 4``,
+    WAV / animated GIF (LZW, half interlaced) / TIFF (both byte orders)
+    by ``doc_id % 5``,
     dimensions/channels/frames and a CONSTANT
     fill value from modular formulas — then run the real stdlib decoders
     (``functions/codecs.py`` via ``decode_media_meta(decoder='stdlib')``
@@ -580,21 +581,24 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in ids:
             i = int(i)
             fill, w, h = i % 251, 4 + i % 9, 3 + i % 7
-            if i % 4 == 0:
+            if i % 5 == 0:
                 img = np.full((h, w, 3), fill, dtype=np.uint8)
                 out.append(codecs.encode_png(img, row_filters=i % 5))
-            elif i % 4 == 1:
+            elif i % 5 == 1:
                 img = np.full((h, w, 3), fill, dtype=np.uint8)
                 out.append(codecs.encode_bmp(img))
-            elif i % 4 == 2:
+            elif i % 5 == 2:
                 ch, fr = 1 + i % 2, 50 + i % 100
                 out.append(
                     codecs.encode_wav(np.full((fr, ch), fill, dtype=np.int16), 8000)
                 )
-            else:  # animated GIF (2..5 constant frames) through the LZW path
+            elif i % 5 == 3:  # animated GIF through the LZW path
                 fr = 2 + i % 4
                 anim = np.full((fr, h, w, 3), fill, dtype=np.uint8)
                 out.append(codecs.encode_gif(anim, interlace=bool(i % 2)))
+            else:  # TIFF, alternating byte order
+                img = np.full((h, w, 3), fill, dtype=np.uint8)
+                out.append(codecs.encode_tiff(img, big_endian=bool(i % 2)))
         return pd.Series(out)
 
     @F.pandas_udf("long")
@@ -1212,23 +1216,23 @@ def oracle_sql() -> dict[str, str]:
         # width after the decode→resample→PNG re-encode→decode chain
         "multimodal_decode": """
             SELECT doc_id,
-                   CASE WHEN doc_id % 4 = 2 THEN 'audio'
-                        WHEN doc_id % 4 = 3 THEN 'video'
+                   CASE WHEN doc_id % 5 = 2 THEN 'audio'
+                        WHEN doc_id % 5 = 3 THEN 'video'
                         ELSE 'image' END AS kind,
-                   CAST(CASE WHEN doc_id % 4 = 2 THEN 1 + doc_id % 2
+                   CAST(CASE WHEN doc_id % 5 = 2 THEN 1 + doc_id % 2
                              ELSE 4 + doc_id % 9 END AS BIGINT) AS width,
-                   CAST(CASE WHEN doc_id % 4 = 2 THEN NULL
+                   CAST(CASE WHEN doc_id % 5 = 2 THEN NULL
                              ELSE 3 + doc_id % 7 END AS BIGINT) AS height,
-                   CAST(CASE WHEN doc_id % 4 = 2 THEN 50 + doc_id % 100
-                             WHEN doc_id % 4 = 3 THEN 2 + doc_id % 4
+                   CAST(CASE WHEN doc_id % 5 = 2 THEN 50 + doc_id % 100
+                             WHEN doc_id % 5 = 3 THEN 2 + doc_id % 4
                              ELSE 1 END AS BIGINT) AS n_frames,
                    true AS valid,
-                   CAST(CASE WHEN doc_id % 4 = 2
+                   CAST(CASE WHEN doc_id % 5 = 2
                              THEN (doc_id % 251) * (50 + doc_id % 100)
                                   * (1 + doc_id % 2)
                              ELSE (doc_id % 251) * 3 * (4 + doc_id % 9)
                                   * (3 + doc_id % 7) END AS BIGINT) AS content_sum,
-                   CAST(CASE WHEN doc_id % 4 = 2 THEN NULL
+                   CAST(CASE WHEN doc_id % 5 = 2 THEN NULL
                              ELSE 3 END AS BIGINT) AS rz_width
             FROM documents
         """,

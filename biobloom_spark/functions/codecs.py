@@ -21,6 +21,8 @@ standard formats exactly from their public specifications:
   *animated* GIF decodes to a real frame stack, which gives the
   multimodal ``sample_frames`` operator a genuinely decodable moving-
   picture format.
+- **TIFF** (6.0 baseline): uncompressed, both byte orders (II/MM),
+  greyscale / RGB / RGBA at 8 bits per sample, multi-strip.
 
 Decoders return numpy arrays — images ``(H, W, C) uint8``, audio
 ``(frames, channels) int32`` — so the downstream feature UDFs stay
@@ -58,6 +60,8 @@ __all__ = [
     "encode_wav",
     "decode_gif",
     "encode_gif",
+    "decode_tiff",
+    "encode_tiff",
     "resize_nearest",
 ]
 
@@ -82,6 +86,8 @@ def sniff(blob: bytes | None) -> str | None:
         return "wav"
     if blob[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if blob[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     if blob[:4] == b"BBMM":
         return "bbmm"
     return None
@@ -100,6 +106,8 @@ def decode_image(blob: bytes) -> np.ndarray:
     if kind == "gif":  # first composed frame, alpha dropped over black
         frames, _delays = decode_gif(blob)
         return np.ascontiguousarray(frames[0, :, :, :3])
+    if kind == "tiff":
+        return decode_tiff(blob)
     raise ValueError(f"not a decodable image format: {kind!r}")
 
 
@@ -658,6 +666,124 @@ def encode_gif(
             out += chunk
         out.append(0)
     out.append(0x3B)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# TIFF (6.0 baseline, uncompressed)
+
+_TIFF_TAGS = {
+    256: "width",          # ImageWidth
+    257: "height",         # ImageLength
+    258: "bits",           # BitsPerSample
+    259: "compression",
+    262: "photometric",
+    273: "strip_offsets",
+    277: "spp",            # SamplesPerPixel
+    278: "rows_per_strip",
+    279: "strip_counts",
+}
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4}  # BYTE ASCII SHORT LONG
+
+
+def decode_tiff(blob: bytes) -> np.ndarray:
+    """Baseline uncompressed TIFF → ``(H, W, C) uint8``.  Both byte
+    orders; greyscale (photometric 1), RGB, RGBA; 8 bits/sample;
+    multi-strip.  Compressed / paletted / tiled TIFFs raise."""
+    if blob[:4] == b"II*\x00":
+        e = "<"
+    elif blob[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF")
+    (ifd_off,) = struct.unpack(e + "I", blob[4:8])
+    (n_entries,) = struct.unpack(e + "H", blob[ifd_off : ifd_off + 2])
+    tags: dict[str, list[int]] = {}
+    for i in range(n_entries):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack(e + "HHI", blob[off : off + 8])
+        name = _TIFF_TAGS.get(tag)
+        if name is None or typ not in _TIFF_TYPE_SIZE:
+            continue
+        size = _TIFF_TYPE_SIZE[typ] * count
+        if size <= 4:
+            raw = blob[off + 8 : off + 8 + size]
+        else:
+            (voff,) = struct.unpack(e + "I", blob[off + 8 : off + 12])
+            raw = blob[voff : voff + size]
+        fmt = {1: "B", 2: "B", 3: "H", 4: "I"}[typ]
+        tags[name] = list(struct.unpack(e + fmt * count, raw))
+    for req in ("width", "height", "strip_offsets", "strip_counts"):
+        if req not in tags:
+            raise ValueError(f"TIFF missing required tag {req}")
+    if tags.get("compression", [1])[0] != 1:
+        raise ValueError("compressed TIFF unsupported (baseline uncompressed only)")
+    photometric = tags.get("photometric", [1])[0]
+    if photometric not in (1, 2):
+        raise ValueError(f"unsupported TIFF photometric {photometric}")
+    spp = tags.get("spp", [1])[0]
+    if spp not in (1, 3, 4) or (photometric == 1) != (spp == 1):
+        raise ValueError(f"unsupported TIFF samples/pixel {spp}")
+    if any(b != 8 for b in tags.get("bits", [8])):
+        raise ValueError("only 8-bit TIFF samples supported")
+    w, h = tags["width"][0], tags["height"][0]
+    data = b"".join(
+        blob[o : o + c] for o, c in zip(tags["strip_offsets"], tags["strip_counts"])
+    )
+    pix = np.frombuffer(data, dtype=np.uint8, count=h * w * spp)
+    return pix.reshape(h, w, spp).copy()
+
+
+def encode_tiff(img: np.ndarray, big_endian: bool = False) -> bytes:
+    """``(H, W, 1|3|4) uint8`` → uncompressed single-strip TIFF (II by
+    default, MM with ``big_endian`` — the decoder-path test hook)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    if c not in (1, 3, 4):
+        raise ValueError("TIFF is grey, RGB or RGBA here")
+    e = ">" if big_endian else "<"
+    pix = img.tobytes()
+    entries = [
+        (256, 3, 1, w),
+        (257, 3, 1, h),
+        (259, 3, 1, 1),                    # uncompressed
+        (262, 3, 1, 1 if c == 1 else 2),   # photometric
+        (273, 4, 1, None),                 # strip offset (patched below)
+        (277, 3, 1, c),
+        (278, 3, 1, h),
+        (279, 4, 1, len(pix)),
+    ]
+    bits_off = None
+    if c > 1:  # BitsPerSample needs c SHORTs → out-of-line value
+        entries.insert(2, (258, 3, c, None))
+    else:
+        entries.insert(2, (258, 3, 1, 8))
+    entries.sort(key=lambda t: t[0])
+    header = struct.pack(e + "2sHI", b"II" if e == "<" else b"MM", 42, 8)
+    ifd_size = 2 + 12 * len(entries) + 4
+    extra_off = 8 + ifd_size
+    extra = b""
+    if c > 1:
+        bits_off = extra_off
+        extra = struct.pack(e + "H" * c, *([8] * c))
+    strip_off = extra_off + len(extra)
+    out = bytearray(header)
+    out += struct.pack(e + "H", len(entries))
+    for tag, typ, count, val in entries:
+        if tag == 273:
+            val = strip_off
+        if tag == 258 and count > 1:
+            val = bits_off
+        if typ == 3 and count == 1:
+            payload = struct.pack(e + "HH", val, 0)
+        else:
+            payload = struct.pack(e + "I", val)
+        out += struct.pack(e + "HHI", tag, typ, count) + payload
+    out += struct.pack(e + "I", 0)  # next-IFD pointer
+    out += extra
+    out += pix
     return bytes(out)
 
 

@@ -8,9 +8,10 @@ metadata propagation — is real and tested.  Three decoders:
 - ``decoder="stdlib"`` — REAL codecs, implemented from the public format
   specifications on the stdlib this container does ship
   (``functions/codecs.py``): PNG (8-bit, all five scanline filters),
-  BMP (24/32-bit), PNM (P5/P6), and RIFF-PCM WAV.  Images and audio
-  decode for real; only JPEG and video (whose codecs genuinely are not
-  installable here) remain behind the stub.
+  BMP (24/32-bit), PNM (P5/P6), baseline TIFF, RIFF-PCM WAV, and full
+  animated GIF (LZW) — so images, audio AND GIF video decode for real;
+  only JPEG and MP4/WebM (whose codecs genuinely are not installable
+  here) remain behind the stub.
 - ``decoder="stub"`` raises NotImplementedError with installation advice
   (the honest production default for formats needing absent libraries);
 - ``decoder="fake"`` runs a deterministic header-parse of the engine's own
@@ -84,7 +85,7 @@ def _stdlib_meta(blob):
     blob = bytes(blob)
     kind = codecs.sniff(blob)
     try:
-        if kind in ("png", "bmp", "pnm"):
+        if kind in ("png", "bmp", "pnm", "tiff"):
             img = codecs.decode_image(blob)
             return "image", int(img.shape[1]), int(img.shape[0]), 1
         if kind == "gif":  # animated GIF is the stdlib-reachable video format
@@ -190,7 +191,7 @@ def extract_features(
             if decoder == "stdlib":
                 kind = codecs.sniff(blob)
                 try:
-                    if kind in ("png", "bmp", "pnm", "gif"):
+                    if kind in ("png", "bmp", "pnm", "tiff", "gif"):
                         img = codecs.decode_image(blob).astype(np.float64)
                         if img.shape[2] >= 3:  # RGB(A) → Rec. 601 luma
                             lum = img[:, :, :3] @ np.array([0.299, 0.587, 0.114])
@@ -266,7 +267,7 @@ def resize_images(
             blob = bytes(blob)
             if decoder == "stdlib":
                 try:
-                    if codecs.sniff(blob) in ("png", "bmp", "pnm", "gif"):
+                    if codecs.sniff(blob) in ("png", "bmp", "pnm", "tiff", "gif"):
                         img = codecs.resize_nearest(codecs.decode_image(blob), out_h, out_w)
                         out.append(codecs.encode_png(img))
                     else:

@@ -163,6 +163,77 @@ class TestWAV:
         np.testing.assert_array_equal(out[:, 0], [-128, 0, 127])
 
 
+class TestTIFF:
+    @pytest.mark.parametrize("channels", [1, 3, 4])
+    @pytest.mark.parametrize("big_endian", [False, True])
+    def test_roundtrip(self, channels, big_endian):
+        from biobloom_spark.functions.codecs import decode_tiff, encode_tiff
+
+        img = _img(11, 6, channels, seed=channels + (10 if big_endian else 0))
+        out = decode_tiff(encode_tiff(img, big_endian=big_endian))
+        np.testing.assert_array_equal(out, img)
+
+    def test_multistrip_decode(self):
+        """Hand-split the pixel data into 3 strips — decode must reassemble."""
+        from biobloom_spark.functions.codecs import decode_tiff, encode_tiff
+
+        img = _img(9, 5, 3, seed=77)
+        single = encode_tiff(img)
+        # rebuild: same IFD but 3 strips of 3 rows each (re-encode manually)
+        e = "<"
+        pix = img.tobytes()
+        rows_per = 3
+        strips = [pix[i * 5 * 3 * rows_per : (i + 1) * 5 * 3 * rows_per] for i in range(3)]
+        entries = [
+            (256, 3, 1, 5), (257, 3, 1, 9), (258, 3, 3, None), (259, 3, 1, 1),
+            (262, 3, 1, 2), (273, 4, 3, None), (277, 3, 1, 3), (278, 3, 1, rows_per),
+            (279, 4, 3, None),
+        ]
+        header = struct.pack(e + "2sHI", b"II", 42, 8)
+        ifd_size = 2 + 12 * len(entries) + 4
+        pos = 8 + ifd_size
+        bits_off = pos; pos += 6
+        offs_off = pos; pos += 12
+        cnts_off = pos; pos += 12
+        strip_offs = []
+        for s in strips:
+            strip_offs.append(pos); pos += len(s)
+        out = bytearray(header) + struct.pack(e + "H", len(entries))
+        for tag, typ, count, val in entries:
+            if tag == 258: val = bits_off
+            if tag == 273: val = offs_off
+            if tag == 279: val = cnts_off
+            payload = struct.pack(e + "HH", val, 0) if (typ == 3 and count == 1) else struct.pack(e + "I", val)
+            out += struct.pack(e + "HHI", tag, typ, count) + payload
+        out += struct.pack(e + "I", 0)
+        out += struct.pack(e + "HHH", 8, 8, 8)
+        out += struct.pack(e + "III", *strip_offs)
+        out += struct.pack(e + "III", *(len(s) for s in strips))
+        for s in strips: out += s
+        np.testing.assert_array_equal(decode_tiff(bytes(out)), img)
+        np.testing.assert_array_equal(decode_tiff(single), img)
+
+    def test_rejects_compressed(self):
+        from biobloom_spark.functions.codecs import decode_tiff, encode_tiff
+
+        blob = bytearray(encode_tiff(_img(4, 4, 3)))
+        # entry order: 256,257,258,259(compression)… patch 259's value to 5 (LZW)
+        # entries start at offset 10; each 12 bytes; 259 is the 4th (index 3)
+        val_off = 10 + 12 * 3 + 8
+        struct.pack_into("<H", blob, val_off, 5)
+        with pytest.raises(ValueError, match="compressed TIFF"):
+            decode_tiff(bytes(blob))
+
+    def test_sniff_and_dispatch(self):
+        from biobloom_spark.functions.codecs import encode_tiff
+
+        img = _img(5, 5, 3, seed=8)
+        blob = encode_tiff(img)
+        assert sniff(blob) == "tiff"
+        np.testing.assert_array_equal(decode_image(blob), img)
+        assert sniff(encode_tiff(img, big_endian=True)) == "tiff"
+
+
 class TestGIF:
     def test_lzw_roundtrip_across_width_boundaries(self):
         from biobloom_spark.functions.codecs import _lzw_decode, _lzw_encode

@@ -547,6 +547,7 @@ class TestMultimodalStdlibCodecs:
             encode_gif,
             encode_png,
             encode_pnm,
+            encode_tiff,
             encode_wav,
         )
 
@@ -565,6 +566,7 @@ class TestMultimodalStdlibCodecs:
             (6, None),                                    # null
             (7, synthesize_media(7, 0, 64, 32, 1)),       # synthetic rides along
             (8, encode_gif(anim)),                        # animated GIF = real video
+            (9, encode_tiff(img, big_endian=True)),       # same pixels, 4th container
         ]
         return spark.createDataFrame(rows, "doc_id long, media binary").cache()
 
@@ -573,7 +575,7 @@ class TestMultimodalStdlibCodecs:
             r["doc_id"]: r["media_meta"]
             for r in decode_media_meta(real_media, decoder="stdlib").collect()
         }
-        for i in (0, 1, 2):  # PNG / BMP / PNM all really decoded
+        for i in (0, 1, 2, 9):  # PNG / BMP / PNM / TIFF all really decoded
             assert res[i]["kind"] == "image"
             assert (res[i]["width"], res[i]["height"]) == (17, 24)
             assert res[i]["n_frames"] == 1
@@ -588,8 +590,8 @@ class TestMultimodalStdlibCodecs:
             r["doc_id"]: r["features"]
             for r in extract_features(real_media, dim=16, decoder="stdlib").collect()
         }
-        # identical pixels through PNG, BMP and PNM → identical feature vector
-        assert res[0] == res[1] == res[2]
+        # identical pixels through PNG, BMP, PNM and TIFF → identical vector
+        assert res[0] == res[1] == res[2] == res[9]
         assert len(res[0]) == 16 and abs(sum(x * x for x in res[0]) - 1.0) < 1e-5
         # audio features: real RMS windows, normalized
         assert len(res[3]) == 16 and abs(sum(x * x for x in res[3]) - 1.0) < 1e-5
