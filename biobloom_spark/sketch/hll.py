@@ -3,25 +3,59 @@
 North-rule companion sketch (no reference counterpart; the reference tracks
 exact ``totalEntries`` single-node, /root/reference/BioBloomMaker/
 BloomFilterGenerator.h:175-178, which does not merge — HLL is the mergeable
-replacement).  Standard HLL (Flajolet et al. 2007) with linear-counting
-small-range correction; relative error ≈ 1.04/sqrt(2^p).
+replacement).  Registers are standard HLL (Flajolet et al. 2007); the
+estimator is Ertl's improved estimator ("New cardinality estimation
+algorithms for HyperLogLog sketches", 2017, §4: the closed-form τ/σ
+corrections applied to the full register histogram).  Unlike the classic
+raw-estimate + linear-counting-below-2.5m scheme, it has no threshold
+cutover and no bias hump in the transition region (~2.5m-5m distinct),
+so the relative error stays ≈ 1.04/sqrt(2^p) across the whole range —
+the round-5 hypothesis fuzzer caught the classic estimator +4.8% off at
+n≈2.4m, exactly the textbook hump this replaces.
 
-Merge = elementwise register max → associative, commutative, idempotent.
+Merge = elementwise register max → associative, commutative, idempotent
+(the estimator change touches read-out only; serialized bytes and merge
+semantics are unchanged).
 """
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 
 import numpy as np
 
 from .hashing import splitmix64
 
-_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+_ALPHA_INF = 1.0 / (2.0 * math.log(2.0))
 
 
-def _alpha(m: int) -> float:
-    return _ALPHA.get(m, 0.7213 / (1.0 + 1.079 / m))
+def _sigma(x: float) -> float:
+    """Ertl 2017 σ(x) = x + Σ_k x^(2^k)·2^(k-1) (linear-counting limit)."""
+    if x == 1.0:
+        return float("inf")
+    y, z = 1.0, x
+    while True:
+        x = x * x
+        z_new = z + x * y
+        y += y
+        if z_new == z:
+            return z
+        z = z_new
+
+
+def _tau(x: float) -> float:
+    """Ertl 2017 τ(x) (saturated-register correction)."""
+    if x == 0.0 or x == 1.0:
+        return 0.0
+    y, z = 1.0, 1.0 - x
+    while True:
+        x = math.sqrt(x)
+        z_prev = z
+        y *= 0.5
+        z -= (1.0 - x) ** 2 * y
+        if z == z_prev:
+            return z / 3.0
 
 
 @dataclass
@@ -66,14 +100,16 @@ class HLLSketch:
         return HLLSketch(p=self.p, registers=np.maximum(self.registers, other.registers))
 
     def estimate(self) -> float:
+        """Ertl's improved estimator over the register histogram: no
+        threshold cutover, no transition-region bias (module docstring)."""
         m = 1 << self.p
-        regs = self.registers.astype(np.float64)
-        est = _alpha(m) * m * m / np.sum(np.exp2(-regs))
-        if est <= 2.5 * m:
-            zeros = int((self.registers == 0).sum())
-            if zeros:
-                return float(m * np.log(m / zeros))
-        return float(est)
+        q = 64 - self.p  # register values range 0..q+1
+        hist = np.bincount(self.registers, minlength=q + 2)
+        z = m * _tau(1.0 - int(hist[q + 1]) / m)
+        for k in range(q, 0, -1):
+            z = 0.5 * (z + float(hist[k]))
+        z += m * _sigma(int(hist[0]) / m)
+        return float(_ALPHA_INF * m * m / z)
 
     def relative_error_bound(self) -> float:
         return 1.04 / np.sqrt(1 << self.p)
