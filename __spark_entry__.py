@@ -99,22 +99,37 @@ def q_exact_classify_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_exact_filter_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-filter hit counters (aboveThreshold column of the summary sink,
-    ResultsManager.hpp:191-237), exact-membership flavor."""
-    from biobloom_spark.operators.exact import exact_classify, shingle_frames
+    ResultsManager.hpp:191-237), exact-membership flavor.  Round 6: built
+    on the shared per-doc hit matrix (one bitmask-aggregate reference
+    pass + one per-doc pivot) instead of the triple-explode join plan —
+    identical counts."""
+    from biobloom_spark.operators.exact import exact_hit_matrix
 
     docs = _docs(spark, sf_dir)
-    sh = shingle_frames(docs.select("doc_id", "lang", "text"), "text", SHINGLE_W)
-    refsets = F.broadcast(sh.select(F.col("lang").alias("ref_key"), "shingle").distinct())
-    frames = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("frames"))
-    hits = (
-        sh.join(refsets, on="shingle")
-        .groupBy("doc_id", "ref_key")
-        .agg(F.count(F.lit(1)).alias("hit_frames"))
-        .join(frames, on="doc_id")
-        .filter(F.col("hit_frames") >= F.lit(EXACT_TAU) * F.col("frames"))
+    per_doc, labels = exact_hit_matrix(docs, "lang", "doc_id", "text", SHINGLE_W)
+    sums = per_doc.agg(
+        *[
+            F.sum(
+                (
+                    (F.col(f"__hits_{i}") > 0)
+                    & (F.col(f"__hits_{i}") >= F.lit(EXACT_TAU) * F.col("__frames"))
+                ).cast("long")
+            ).alias(f"__s{i}")
+            for i in range(len(labels))
+        ]
     )
-    return hits.groupBy(F.col("ref_key").alias("filter_id")).agg(
-        F.count(F.lit(1)).alias("hits")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(lab).alias("filter_id"), F.col(f"__s{i}").alias("hits")
+            )
+            for i, lab in enumerate(labels)
+        ]
+    )
+    return (
+        sums.select(F.explode(pairs).alias("p"))
+        .select("p.filter_id", "p.hits")
+        .filter(F.col("hits") > 0)
     )
 
 

@@ -66,8 +66,26 @@ _SEG_IDS_SCHEMA = T.StructType(
     [
         T.StructField("seg", T.IntegerType(), False),
         T.StructField("ids", T.BinaryType(), False),
+        # lost (slot, label) claim pairs of this segment — int64 slots
+        # followed by uint16 labels (n = len/10).  The saturation pass
+        # needs ONLY these (see MIBFClaims.lost_pairs), so the dense
+        # build can broadcast ~|collisions| bytes instead of the full
+        # uint16 id array.
+        T.StructField("lost", T.BinaryType(), True),
     ]
 )
+
+
+def _pack_lost(slots: np.ndarray, labels: np.ndarray) -> bytes:
+    return slots.astype("<i8").tobytes() + labels.astype("<u2").tobytes()
+
+
+def _unpack_lost(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
+    n = len(payload) // 10
+    return (
+        np.frombuffer(payload[: 8 * n], dtype="<i8").astype(np.int64),
+        np.frombuffer(payload[8 * n :], dtype="<u2").astype(np.uint16),
+    )
 
 _SAT_SCHEMA = T.StructType(
     [
@@ -157,15 +175,24 @@ def _resolved_segments(
 
     def resolve_seg(key, pdf: pd.DataFrame) -> pd.DataFrame:
         """One reducer per slot-range segment: merge that segment's claims
-        (associative min-tiebreak) and emit the resolved uint16 id slice."""
+        (associative min-tiebreak) and emit the resolved uint16 id slice
+        plus the segment's lost (slot, label) claim pairs."""
         s = int(key[0])
         acc = MIBFClaims.merge_all(
             [MIBFClaims.deserialize(bytes(p)) for p in pdf["payload"]]
         )  # ONE sort per segment, not a 64-step merge chain
         lo, hi = int(bounds[s]), int(bounds[s + 1])
+        win = acc.winners()
         ids_seg = np.zeros(hi - lo, dtype=np.uint16)
-        ids_seg[acc.slots - lo] = acc.owners()
-        return pd.DataFrame({"seg": [s], "ids": [ids_seg.tobytes()]})
+        ids_seg[win.slots - lo] = win.owners()
+        lost_slots, lost_labels = acc.lost_pairs()
+        return pd.DataFrame(
+            {
+                "seg": [s],
+                "ids": [ids_seg.tobytes()],
+                "lost": [_pack_lost(lost_slots, lost_labels)],
+            }
+        )
 
     return partials.groupBy("seg").applyInPandas(resolve_seg, schema=_SEG_IDS_SCHEMA)
 
@@ -215,17 +242,20 @@ def _prep_build(
     h = seed_arr.shape[0] if seed_arr is not None else num_hashes
 
     docs = docs.filter(F.col(key_col).isNotNull() & F.col(text_col).isNotNull())
-    labels = [r[0] for r in docs.select(key_col).distinct().collect()]
-    labels = sorted(str(x) for x in labels)
+    # ONE prologue job: labels + frames upper bound per label from a single
+    # groupBy — the old shape (distinct collect + a second sum agg) paid
+    # two full metadata scans (guide §2.4: fewer passes)
+    from .maker import frames_upper_bound_col
+
+    frames_ub = frames_upper_bound_col(text_col, shingle_w)
+    key_rows = (
+        docs.groupBy(key_col).agg(F.sum(frames_ub).alias("__f")).collect()
+    )
+    labels = sorted(str(r[0]) for r in key_rows)
     label_to_idx = {lab: i + 1 for i, lab in enumerate(labels)}
 
     if expected_entries is None:
-        from .maker import frames_upper_bound_col
-
-        frames_ub = frames_upper_bound_col(text_col, shingle_w)
-        expected_entries = int(
-            docs.agg(F.sum(frames_ub).alias("f")).collect()[0]["f"] or 1
-        )
+        expected_entries = int(sum(r["__f"] or 0 for r in key_rows) or 1)
     m_slots = mibf_size_slots(expected_entries, h, occupancy)
 
     if len(labels) > MAX_LABELS:
@@ -300,14 +330,42 @@ def build_mibf(
         bounds, S,
     )
     ids = np.zeros(m_slots, dtype=np.uint16)
+    lost_acc: dict[int, list[np.ndarray]] = {}
+    n_lost = 0
     for r in resolved.collect():
         s = int(r["seg"])
         ids[bounds[s] : bounds[s + 1]] = np.frombuffer(bytes(r["ids"]), dtype=np.uint16)
+        if r["lost"]:
+            lslots, llabels = _unpack_lost(bytes(r["lost"]))
+            n_lost += lslots.size
+            for li in np.unique(llabels):
+                lost_acc.setdefault(int(li), []).append(lslots[llabels == li])
     sketch = MIBFSketch(
         m_slots, h, shingle_w, labels, ids, seed_arr, hash_family, canonical
     )
 
     # --- saturation pass (insertSaturation, MIBFGen.hpp:196-223) ----------
+    # An element is saturated iff its label lost EVERY probe slot, and a
+    # probed slot is always claimed — so losing a slot == appearing in the
+    # resolve stage's lost-pair set.  When that set is small (it is
+    # |collision claims|, not |slots|), broadcast it instead of the full
+    # uint16 id array: the per-worker broadcast read drops from
+    # O(m_slots) to O(collisions) and a collision-free corpus (disjoint
+    # label vocabularies) skips the second corpus scan entirely.
+    if n_lost == 0:
+        return sketch
+    lost_by_label = {
+        li: np.unique(np.concatenate(parts)) for li, parts in lost_acc.items()
+    }
+    lost_bytes = 10 * n_lost
+    if lost_bytes <= max(sketch.ids.nbytes // 2, 1 << 20) and (
+        max_broadcast_bytes is None or lost_bytes <= max_broadcast_bytes
+    ):
+        _saturate_lost_pairs(
+            spark, base, sketch, bc_map, lost_by_label, bounds, S,
+            seed_arr, hash_family, canonical,
+        )
+        return sketch
     if max_broadcast_bytes is not None and sketch.ids.nbytes > max_broadcast_bytes:
         n_seg = _clamp_segments(-(-sketch.ids.nbytes // max_broadcast_bytes))
         _saturate_sharded(spark, base, sketch, bc_map, n_seg, pin_source=pin_source)
@@ -365,6 +423,89 @@ def build_mibf(
     ):
         sketch.apply_saturation(np.frombuffer(bytes(r["slots"]), dtype=np.int64))
     return sketch
+
+
+def _saturate_lost_pairs(
+    spark: SparkSession,
+    base: DataFrame,
+    sketch: MIBFSketch,
+    bc_map,
+    lost_by_label: dict[int, np.ndarray],
+    bounds: np.ndarray,
+    S: int,
+    seed_arr: np.ndarray | None,
+    hash_family: str,
+    canonical: bool,
+) -> None:
+    """Saturation from the resolve stage's lost-pair sets — the id-array-
+    free twin of ``build_mibf``'s dense ``sat_pass``.
+
+    ``lost_by_label[li]`` = sorted slots label ``li`` claimed but lost.
+    A frame of label ``li`` is saturated iff ALL its probe slots are in
+    that set (every probed slot was claimed by the label in pass 1, so
+    'not owned' == 'lost'); label groups with an empty lost set skip the
+    membership test — only the rehash remains, and the pass is launched
+    at all only when some label lost something.
+    """
+    m_slots, h, shingle_w = sketch.m_slots, sketch.num_hashes, sketch.shingle_w
+    bc_lost = spark.sparkContext.broadcast(lost_by_label)
+    probe = MIBFSketch(
+        m_slots, h, shingle_w, [], np.zeros(0, dtype=np.uint16), seed_arr,
+        hash_family, canonical,
+    )
+
+    def sat_pass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lmap = bc_map.value
+        lostmap = bc_lost.value
+        cache: dict = {}
+        sat: list[np.ndarray] = []
+        for pdf in batches:
+            for lab, grp in pdf.groupby("__label"):
+                li = lmap.get(str(lab))
+                if li is None:
+                    continue
+                lost_L = lostmap.get(int(li))
+                if lost_L is None or lost_L.size == 0:
+                    continue
+                rows, _off = _frame_hash_rows(
+                    grp["__text"].to_numpy(), None, shingle_w, seed_arr, cache,
+                    canonical, hash_family,
+                )
+                if rows.size == 0:
+                    continue
+                pos = probe.positions_for(rows)
+                idx = np.searchsorted(lost_L, pos)
+                np.minimum(idx, lost_L.size - 1, out=idx)
+                member = lost_L[idx] == pos
+                lost = member.all(axis=0)
+                if lost.any():
+                    sat.append(np.unique(pos[:, lost]))
+        if sat:
+            allsat = np.unique(np.concatenate(sat))
+            cut = np.searchsorted(allsat, bounds)
+            out_seg, out_sl = [], []
+            for s in range(S):
+                lo, hi = int(cut[s]), int(cut[s + 1])
+                if hi > lo:
+                    out_seg.append(s)
+                    out_sl.append(allsat[lo:hi].tobytes())
+            yield pd.DataFrame({"seg": out_seg, "slots": out_sl})
+
+    def sat_reduce(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(
+            np.concatenate(
+                [np.frombuffer(bytes(p), dtype=np.int64) for p in pdf["slots"]]
+            )
+        )
+        return pd.DataFrame({"seg": [int(key[0])], "slots": [u.tobytes()]})
+
+    for r in (
+        base.mapInPandas(sat_pass, schema=_SAT_SCHEMA)
+        .groupBy("seg")
+        .applyInPandas(sat_reduce, schema=_SAT_SCHEMA)
+        .collect()
+    ):
+        sketch.apply_saturation(np.frombuffer(bytes(r["slots"]), dtype=np.int64))
 
 
 def _saturate_sharded(

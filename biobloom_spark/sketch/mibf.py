@@ -167,10 +167,17 @@ def _recompute_ties(slots: np.ndarray, labels: np.ndarray) -> np.ndarray:
 class MIBFClaims:
     """Sparse, mergeable ownership-claim set: the build-partial state.
 
-    ``slots``/``ties`` are parallel sorted-by-slot arrays holding, per
-    touched slot, the minimum tiebreak seen.  Merging two claim sets is a
-    sorted union with elementwise min — associative, commutative,
-    idempotent (the distributed analog of MIBFGen's insertMIBF pass).
+    ``slots``/``ties`` are parallel arrays sorted by (slot, tie) holding
+    one entry per distinct (slot, claiming label) — the tie is a pure
+    function of (slot, label), so (slot, tie) dedup IS (slot, label)
+    dedup.  Merging claim sets is a sorted pair-union — associative,
+    commutative, idempotent (the distributed analog of MIBFGen's
+    insertMIBF pass).  ``winners()`` resolves ownership (min tie per
+    slot); ``lost_pairs()`` yields every (slot, label) claim that LOST
+    its slot — globally correct even on a partition-local merge, because
+    a locally-losing tie can never be the global minimum (round-6
+    optimization: the saturation pass needs only these lost pairs, not
+    the resolved id array).
     """
 
     slots: np.ndarray = field(default_factory=lambda: np.empty(0, dtype=np.int64))
@@ -193,9 +200,11 @@ class MIBFClaims:
         step — O(K·N log N) across K partials, the superlinear wall the
         round-3 profiling hit (64 sequential reducer merges, plus one
         merge per batch×label group map-side).  One concatenate + one
-        lexsort + one first-per-slot pass is O(ΣN log ΣN) total and keeps
-        the identical associative-min semantics (lexsort is stable; the
-        minimum tie per slot wins regardless of input order).
+        lexsort + one first-per-pair pass is O(ΣN log ΣN) total.  Dedup
+        is per (slot, tie) — i.e. per (slot, label) — so losing labels'
+        claims survive the merge and ``lost_pairs()`` stays globally
+        complete; ownership resolution (``winners()``: min tie per slot)
+        is unchanged by the extra entries.
         """
         parts = [p for p in parts if p.slots.size]
         if not parts:
@@ -208,12 +217,35 @@ class MIBFClaims:
         allslots, allties = allslots[order], allties[order]
         first = np.empty(allslots.size, dtype=bool)
         first[0] = True
-        first[1:] = allslots[1:] != allslots[:-1]
+        first[1:] = (allslots[1:] != allslots[:-1]) | (allties[1:] != allties[:-1])
         return cls(allslots[first], allties[first])
 
+    def _first_per_slot(self) -> np.ndarray:
+        """Bool mask: True at the minimum-tie entry of each slot group
+        (entries are sorted by (slot, tie))."""
+        first = np.empty(self.slots.size, dtype=bool)
+        if self.slots.size:
+            first[0] = True
+            first[1:] = self.slots[1:] != self.slots[:-1]
+        return first
+
+    def winners(self) -> "MIBFClaims":
+        """Ownership resolution: ONE entry per slot (the minimum tie)."""
+        first = self._first_per_slot()
+        return MIBFClaims(self.slots[first], self.ties[first])
+
+    def lost_pairs(self) -> tuple[np.ndarray, np.ndarray]:
+        """(slots, labels) of every claim that lost its slot's tiebreak —
+        the complete global set when called on fully-merged claims.  An
+        element (frame, label) is saturated iff ALL its probe slots
+        appear here under its label (every probed slot was claimed, so
+        'not owned by the label' == 'lost by the label')."""
+        lost = ~self._first_per_slot()
+        return self.slots[lost], (self.ties[lost] & _TIE_LABEL_MASK).astype(np.uint16)
+
     def owners(self) -> np.ndarray:
-        """Winning label index per claimed slot (uint16, parallel to
-        ``slots``) — the resolved ownership this claim set encodes."""
+        """Label index per entry (uint16, parallel to ``slots``).  On a
+        ``winners()`` result this is the resolved ownership."""
         return (self.ties & _TIE_LABEL_MASK).astype(np.uint16)
 
     def serialize(self) -> bytes:
@@ -340,8 +372,9 @@ class MIBFSketch:
     ) -> "MIBFSketch":
         if len(labels) > MAX_LABELS:
             raise ValueError(f"miBF supports at most {MAX_LABELS} labels")
+        win = claims.winners()
         ids = np.zeros(m_slots, dtype=np.uint16)
-        ids[claims.slots] = (claims.ties & _TIE_LABEL_MASK).astype(np.uint16)
+        ids[win.slots] = win.owners()
         return cls(m_slots, num_hashes, shingle_w, labels, ids, seeds,
                    hash_family, canonical)
 

@@ -777,3 +777,76 @@ class TestClaimsWireFormat:
         c3 = MIBFClaims(s3, _recompute_ties(s3, np.asarray([42], dtype=np.uint16)))
         d3 = MIBFClaims.deserialize(c3.serialize())
         assert np.array_equal(d3.slots, c3.slots) and np.array_equal(d3.ties, c3.ties)
+
+
+class TestLostPairSaturation:
+    """Round-6 internals: pair-dedup claims merge + lost-pair saturation."""
+
+    def test_pair_merge_keeps_losers_and_winners_match_min(self):
+        from biobloom_spark.sketch.mibf import MIBFClaims, _TIE_LABEL_MASK
+
+        rng = np.random.default_rng(7)
+        parts = [
+            MIBFClaims.from_positions(rng.integers(0, 500, (3, 80)), li)
+            for li in (1, 2, 3, 4)
+        ]
+        acc = MIBFClaims.merge_all(parts)
+        # brute force: per (slot, label) claims, winner = min tie
+        ref: dict[int, dict[int, int]] = {}
+        for p in parts:
+            for s, t in zip(p.slots, p.ties):
+                lab = int(t & _TIE_LABEL_MASK)
+                ref.setdefault(int(s), {})[lab] = int(t)
+        # merged entries == all distinct (slot, label) claims
+        got_pairs = {
+            (int(s), int(t & _TIE_LABEL_MASK)) for s, t in zip(acc.slots, acc.ties)
+        }
+        want_pairs = {(s, lab) for s, labs in ref.items() for lab in labs}
+        assert got_pairs == want_pairs
+        # winners == min tie per slot
+        win = acc.winners()
+        assert win.slots.size == len(ref)
+        for s, t in zip(win.slots, win.ties):
+            assert int(t) == min(ref[int(s)].values())
+        # lost pairs == everything that is not the winner
+        ls, ll = acc.lost_pairs()
+        got_lost = set(zip(ls.tolist(), ll.tolist()))
+        want_lost = {
+            (s, int(np.uint64(t) & _TIE_LABEL_MASK))
+            for s, labs in ref.items()
+            for t in labs.values()
+            if t != min(ref[s].values())
+        }
+        assert got_lost == want_lost
+
+    def test_wire_roundtrip_with_duplicate_slots(self):
+        from biobloom_spark.sketch.mibf import MIBFClaims, _recompute_ties
+
+        # multi-label entries on the same slot (pair-dedup keeps them)
+        slots = np.asarray([5, 5, 5, 9, 9, 1000], dtype=np.int64)
+        labels = np.asarray([1, 2, 7, 3, 4, 1], dtype=np.uint16)
+        order = np.lexsort((_recompute_ties(slots, labels), slots))
+        slots, labels = slots[order], labels[order]
+        c = MIBFClaims(slots, _recompute_ties(slots, labels))
+        d = MIBFClaims.deserialize(c.serialize())
+        assert np.array_equal(d.slots, c.slots)
+        assert np.array_equal(d.ties, c.ties)
+
+    def test_lost_pair_saturation_matches_sharded(self, spark):
+        """Shared-vocabulary corpus (every slot contested): the lost-pair
+        saturation path (default guard) must produce a byte-identical
+        sketch to the sharded full-array saturation path (forced via
+        ``max_broadcast_bytes=1``, which also rules the lost-pair
+        broadcast out)."""
+        from biobloom_spark.operators import mibf as M
+
+        text = " ".join(f"s{i % 37}x{i % 11}" for i in range(150))
+        rows = [(f"d{li}{j}", text + f" tail{li}", f"L{li}")
+                for li in range(3) for j in range(2)]
+        df = spark.createDataFrame(rows, "doc_id string, text string, lang string")
+        sk_fast = M.build_mibf(spark, df, key_col="lang", occupancy=0.5)
+        sk_sharded = M.build_mibf(
+            spark, df, key_col="lang", occupancy=0.5, max_broadcast_bytes=1,
+        )
+        assert sk_fast.serialize() == sk_sharded.serialize()
+        assert sk_fast.saturation_rate() > 0  # the corpus really contests
