@@ -355,7 +355,8 @@ def _unpack_slice_hashes(payload: bytes, base) -> np.ndarray:
 
 def _build_partition_fn(params: BloomParams, build: BuildConfig, text_col: str,
                         key_col: str, subtract_bits: bytes | None,
-                        subtract_meta: tuple | None):
+                        subtract_meta: tuple | None,
+                        skip_buckets: frozenset | None = None):
     """mapInPandas kernel: one *input partition* → S sparse slice rows +
     one companion row per key.
 
@@ -389,6 +390,10 @@ def _build_partition_fn(params: BloomParams, build: BuildConfig, text_col: str,
     shift = np.uint64(64 - k) if k else None
 
     def fn(batches):
+        if skip_buckets:
+            ctx0 = TaskContext.get()
+            if ctx0 is not None and int(ctx0.partitionId()) in skip_buckets:
+                return  # resumed build: this partition's partials exist
         sub = None
         if subtract_bits is not None:
             sm, sh_, sb, sseg = subtract_meta
@@ -855,20 +860,22 @@ def build_filters(
         )
         if build.coalesce_input:
             base = base.coalesce(build.coalesce_input)
-        todo = base
+        done_buckets: frozenset = frozenset()
         if resume:
-            done_buckets = [
+            done_buckets = frozenset(
                 int(r["bucket"])
                 for r in spark.read.parquet(partials_path).select("bucket").distinct().collect()
-            ]
-            # same snapshot → same listing → deterministic partition ids;
-            # recompute only missing partitions
-            todo = base.rdd.mapPartitionsWithIndex(
-                lambda pid, it: iter([]) if pid in set(done_buckets) else it,
-                preservesPartitioning=True,
-            ).toDF(base.schema)
-        part_fn = _build_partition_fn(params, build, text_col, "filter_id", sub_bits, sub_meta)
-        new_partials = todo.mapInPandas(part_fn, schema=PARTIAL_SCHEMA)
+            )
+        # same snapshot → same listing → deterministic partition ids;
+        # recompute only missing partitions.  The skip lives inside the
+        # Arrow kernel (TaskContext) so a resumed build keeps the
+        # vectorized scan — the old rdd.mapPartitionsWithIndex filter
+        # pickled every surviving row through a Python RDD round-trip.
+        part_fn = _build_partition_fn(
+            params, build, text_col, "filter_id", sub_bits, sub_meta,
+            skip_buckets=done_buckets or None,
+        )
+        new_partials = base.mapInPandas(part_fn, schema=PARTIAL_SCHEMA)
     else:
         bucketed = docs.select(
             F.col(key_col).cast("string").alias("filter_id"),

@@ -142,24 +142,28 @@ def _partials_df(
     the O(partitions x keys) partial-count contract directly.
 
     ``with_part_id`` adds the source partition id column the checkpointed
-    build stores for resume; ``skip_partitions`` drops those partitions'
-    rows before any work (partition ids and count are preserved, so the
-    remaining tasks keep their original ids — the resume contract)."""
+    build stores for resume; ``skip_partitions`` makes those partitions'
+    tasks emit nothing (partition ids and count are preserved, so the
+    remaining tasks keep their original ids — the resume contract).  The
+    skip happens INSIDE the Arrow pass via TaskContext — the pre-round-6
+    ``rdd.mapPartitionsWithIndex`` filter forced a pickled Python-RDD
+    round-trip of every surviving row on resume (guide §4: keep the
+    vectorized scan)."""
     p, cw, cd = _resolve_params(sketch_params)
     from ..functions.text import batch_doc_shingles
 
     sel = docs.filter(
         F.col(key_col).isNotNull() & F.col(text_col).isNotNull()
     ).select(F.col(key_col).cast("string").alias("__key"), F.col(text_col).alias("__text"))
-    if skip_partitions:
-        done = set(skip_partitions)
-        sel = sel.rdd.mapPartitionsWithIndex(
-            lambda pid, it: iter([]) if pid in done else it,
-            preservesPartitioning=True,
-        ).toDF(sel.schema)
+    done = frozenset(skip_partitions) if skip_partitions else frozenset()
 
     def partials(batches):
         from pyspark import TaskContext
+
+        if done:
+            ctx0 = TaskContext.get()
+            if ctx0 is not None and int(ctx0.partitionId()) in done:
+                return
 
         cache: dict = {}
         acc: dict[str, list] = {}  # key -> [hll, cms, kll, td, n_docs, n_tokens]

@@ -195,3 +195,29 @@ def test_stratified_sample_uses_window_group_limit(spark, pq_corpus):
 
     out = stratified_sample(pq_corpus, "lang", 5, id_col="url")
     assert "WindowGroupLimit" in plan_string(out, "simple")
+
+
+def test_resume_skip_keeps_arrow_scan(spark, pq_corpus):
+    """Round 6: the checkpoint-resume partition skip must live inside the
+    Arrow kernel (TaskContext), not an RDD filter — a resumed build keeps
+    the vectorized parquet scan with no Python-RDD round-trip."""
+    from biobloom_spark.operators.sketch_agg import _partials_df
+
+    df = _partials_df(
+        pq_corpus, "lang", "text", "tokens", 3, fanout=2,
+        with_part_id=True, skip_partitions={0},
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan and "SQLExecutionRDD" not in plan
+    assert "Scan parquet" in plan
+    # and the skip is effective: partition 0 emits nothing
+    import pyspark.sql.functions as F
+
+    parts = {r["part_id"] for r in df.select("part_id").distinct().collect()}
+    assert 0 not in parts
+    n_parts = pq_corpus.rdd.getNumPartitions()
+    full = _partials_df(
+        pq_corpus, "lang", "text", "tokens", 3, fanout=2, with_part_id=True,
+    )
+    all_parts = {r["part_id"] for r in full.select("part_id").distinct().collect()}
+    assert parts == all_parts - {0}
