@@ -388,44 +388,50 @@ def simhash_signatures_sql(
     Same Charikar sign-sum semantics as ``simhash_signatures`` but the
     per-frame hash is the first 16 hex chars of ``md5(shingle string)``
     (big-endian uint64), which a DuckDB twin can recompute exactly; the
-    whole computation is JVM expressions (zero shuffle, zero Python).
-    Higher-order ``aggregate`` runs interpreted (no codegen), so the
-    vectorized FNV ``simhash_signatures`` stays the production hot path;
-    this variant exists so the gate's near-dup query is hash-checkable
-    end to end (candidate recall from pigeonhole blocking is lossless, so
-    the *output* is deterministic given the hash function).
-    """
-    from ..sources.tables import tokens_col
+    whole computation is JVM expressions (zero Python).  The vectorized
+    FNV ``simhash_signatures`` stays the production hot path; this
+    variant exists so the gate's near-dup query is hash-checkable end to
+    end (candidate recall from pigeonhole blocking is lossless, so the
+    *output* is deterministic given the hash function).
 
-    d = docs.withColumn("__toks", tokens_col(text_col))
-    n_frames = F.greatest(F.lit(0), F.size("__toks") - F.lit(w - 1))
-    idx = F.when(n_frames > 0, F.sequence(F.lit(1), n_frames)).otherwise(
-        F.array().cast("array<int>")
-    )
-    h16 = F.transform(
-        idx, lambda i: F.substring(F.md5(F.concat_ws(" ", F.slice("__toks", i, w))), 1, 16)
-    )
+    Round-6 plan: the original formulation ran a NESTED interpreted
+    higher-order ``aggregate`` (64 bit positions x every frame, per doc —
+    measured 10+ s at sf0.1).  Now: one codegen'd regex shingle explode,
+    md5 + hex->int64 packing per frame row, then ONE doc-keyed
+    aggregation with 64 conditional bit sums and a codegen'd bitwise-OR
+    assembly — identical values, whole-stage codegen throughout, one
+    map-side-combined exchange.
+    """
+    from .exact import shingle_array_col
+
+    sh_arr = shingle_array_col(text_col, w)
+    d = docs.select(id_col, F.explode_outer(sh_arr).alias("__shingle"))
     # hex -> uint64 in two 32-bit halves (conv of 8 hex chars fits a signed
     # long even under ANSI); the high half may set the sign bit via
     # shiftleft, which wraps Java-style — exactly the packing the DuckDB
     # twin reproduces bit-by-bit
-    packed = (
-        "transform(__h16s, h -> shiftleft(cast(conv(substring(h, 1, 8), 16, 10) AS bigint), 32)"
-        " | cast(conv(substring(h, 9, 8), 16, 10) AS bigint))"
-    )
+    m = F.md5("__shingle")
+    packed = F.shiftleft(
+        F.conv(F.substring(m, 1, 8), 16, 10).cast("long"), 32
+    ).bitwiseOR(F.conv(F.substring(m, 9, 8), 16, 10).cast("long"))
+    rows = d.select(id_col, packed.alias("__h"))
     # per-bit vote: majority of frames with bit b set -> bit b of simhash;
-    # 2*ones_b > n_frames  <=>  sum(+1/-1 votes) > 0.  No frames -> 0.
-    sim = (
-        "aggregate(sequence(0, 63), cast(0 AS bigint), (acc, b) -> acc | IF("
-        " 2 * aggregate(__packed, cast(0 AS bigint),"
-        "              (a, x) -> a + (shiftrightunsigned(x, b) & 1))"
-        " > size(__packed), shiftleft(cast(1 AS bigint), b), cast(0 AS bigint)))"
-    )
-    return (
-        d.withColumn("__h16s", h16)
-        .withColumn("__packed", F.expr(packed))
-        .select(id_col, F.expr(sim).alias("simhash"))
-    )
+    # 2*ones_b > n_frames  <=>  sum(+1/-1 votes) > 0.  No frames -> 0
+    # (explode_outer keeps zero-frame docs as one NULL row: count/sums
+    # skip NULLs, so nf = 0 and every vote fails).
+    aggs = [F.count("__h").alias("__nf")] + [
+        F.sum(F.shiftrightunsigned("__h", b).bitwiseAND(F.lit(1))).alias(f"__b{b}")
+        for b in range(64)
+    ]
+    per_doc = rows.groupBy(id_col).agg(*aggs)
+    sim = None
+    for b in range(64):
+        term = F.when(
+            F.lit(2) * F.coalesce(F.col(f"__b{b}"), F.lit(0)) > F.col("__nf"),
+            F.shiftleft(F.lit(1).cast("long"), b),
+        ).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return per_doc.select(id_col, sim.alias("simhash"))
 
 
 def simhash_near_dups(
@@ -457,9 +463,7 @@ def simhash_near_dups(
         sig_df = simhash_signatures(docs, id_col, text_col, w)
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r} (expected 'fnv' or 'md5')")
-    sigs = docs.select(F.col(id_col).alias("id")).join(
-        sig_df.withColumnRenamed(id_col, "id"), on="id"
-    )
+    sigs = sig_df.withColumnRenamed(id_col, "id")
     width = 64 // blocks
     blocked = sigs.select(
         "id",
@@ -473,16 +477,20 @@ def simhash_near_dups(
     ).select("id", "simhash", F.col("bb.blk").alias("blk"), F.col("bb.bval").alias("bval"))
     lhs = blocked.select("blk", "bval", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
     rhs = blocked.select("blk", "bval", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
-    cand = (
+    # Verify (popcount, a codegen'd scalar) BEFORE deduplicating: narrow
+    # blocks make the equi-join a high-multiplicity candidate generator,
+    # and the pre-round-6 plan shuffled EVERY candidate pair through
+    # dropDuplicates before filtering — the verify filter runs in-stream
+    # inside the join stage and the dedup exchange then carries only the
+    # (tiny) accepted pair set (guide §2.3: shuffle fewer bytes).  Same
+    # output: hamming is a pure function of the pair.
+    return (
         lhs.join(rhs, on=["blk", "bval"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return (
-        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -277,7 +277,7 @@ def build_mibf(
     occupancy: float = 0.5,
     seeds: list[str] | None = None,
     expected_entries: int | None = None,
-    merge_segments: int = 16,
+    merge_segments: int | None = None,
     max_broadcast_bytes: int | None = None,
     canonical: bool = False,
     hash_family: str = "poly",
@@ -322,6 +322,15 @@ def build_mibf(
         spark, docs, key_col, text_col, shingle_w, num_hashes, occupancy,
         seeds, expected_entries, canonical, hash_family,
     )
+    if merge_segments is None:
+        # scale-adaptive: one ownership reducer per available task slot
+        # (resolved ids are segment-count-invariant — pinned by
+        # test_segmented_resolution_matches_local_twin); the fixed 16 left
+        # half the cores idle through the resolve stage on local[32] and
+        # under-parallelises any larger cluster
+        merge_segments = _clamp_segments(
+            max(16, spark.sparkContext.defaultParallelism)
+        )
     S = max(1, int(merge_segments))
     bounds = _seg_bounds(m_slots, S)
 
