@@ -517,6 +517,56 @@ def _saturate_lost_pairs(
         sketch.apply_saturation(np.frombuffer(bytes(r["slots"]), dtype=np.int64))
 
 
+def _lost_slots_from_pairs(
+    spark: SparkSession,
+    base: DataFrame,
+    meta: tuple,
+    bc_map,
+    lost_by_label: dict[int, np.ndarray],
+) -> DataFrame:
+    """Distributed lost-element scan from the resolve stage's lost-pair
+    sets: ONE corpus pass, no id-array broadcast — the store-build twin
+    of ``_saturate_lost_pairs`` (returns the same distinct ``slot``
+    DataFrame shape as ``_sharded_lost_slots``)."""
+    m_slots, h, w, _labels, seeds, family, canonical = meta
+    bc_lost = spark.sparkContext.broadcast(lost_by_label)
+    probe = MIBFSketch(
+        m_slots, h, w, [], np.zeros(0, dtype=np.uint16), seeds, family, canonical
+    )
+    slot_schema = T.StructType([T.StructField("slot", T.LongType(), False)])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lmap = bc_map.value
+        lostmap = bc_lost.value
+        cache: dict = {}
+        sat: list[np.ndarray] = []
+        for pdf in batches:
+            for lab, grp in pdf.groupby("__label"):
+                li = lmap.get(str(lab))
+                if li is None:
+                    continue
+                lost_L = lostmap.get(int(li))
+                if lost_L is None or lost_L.size == 0:
+                    continue
+                rows, _off = _frame_hash_rows(
+                    grp["__text"].to_numpy(), None, w, seeds, cache,
+                    canonical, family,
+                )
+                if rows.size == 0:
+                    continue
+                pos = probe.positions_for(rows)
+                idx = np.searchsorted(lost_L, pos)
+                np.minimum(idx, lost_L.size - 1, out=idx)
+                member = lost_L[idx] == pos
+                lost = member.all(axis=0)
+                if lost.any():
+                    sat.append(np.unique(pos[:, lost]))
+        if sat:
+            yield pd.DataFrame({"slot": np.unique(np.concatenate(sat))})
+
+    return base.mapInPandas(run, schema=slot_schema).distinct()
+
+
 def _saturate_sharded(
     spark: SparkSession,
     base: DataFrame,

@@ -49,11 +49,18 @@ from ..sketch.mibf import (
 from .mibf import (
     _classify_mibf_sharded,
     _clamp_segments,
+    _lost_slots_from_pairs,
     _prep_build,
     _resolved_segments,
     _seg_bounds,
     _sharded_lost_slots,
+    _unpack_lost,
 )
+
+#: largest total lost-pair payload the store build will broadcast for the
+#: one-pass saturation scan; beyond it (or for pre-round-6 resolved
+#: checkpoints without the column) the segmented rescan path runs instead
+_LOST_BROADCAST_CAP = 64 << 20
 
 __all__ = [
     "MIBFStore",
@@ -290,11 +297,43 @@ def build_mibf_store(
                 canonical, bounds, S,
             ).write.mode("overwrite").parquet(resolved_path)
 
-        sat_slots = _sharded_lost_slots(
-            spark, base, meta7,
-            lambda s, lo, hi: _read_segment(spark, resolved_path, s, lo, hi),
-            bc_map, bounds, pin_source=pin_source,
-        )
+        # saturation: prefer the resolve stage's lost-pair sets (round 6)
+        # — ONE corpus pass with a |collisions|-sized broadcast, or ZERO
+        # passes when no claim lost its slot — over the segmented
+        # full-array rescan (S corpus passes).  Falls back for resolved
+        # checkpoints written before the `lost` column existed and for
+        # lost sets too big to broadcast.
+        resolved_cols = spark.read.parquet(resolved_path)
+        sat_slots = None
+        if "lost" in resolved_cols.columns:
+            n_lost_bytes = int(
+                resolved_cols.agg(
+                    F.sum(F.length("lost")).alias("b")
+                ).collect()[0]["b"]
+                or 0
+            )
+            if n_lost_bytes == 0:
+                sat_slots = spark.createDataFrame([], "slot long")
+            elif n_lost_bytes <= _LOST_BROADCAST_CAP:
+                lost_acc: dict[int, list[np.ndarray]] = {}
+                for r in resolved_cols.select("lost").collect():
+                    if r["lost"]:
+                        ls, ll = _unpack_lost(bytes(r["lost"]))
+                        for li in np.unique(ll):
+                            lost_acc.setdefault(int(li), []).append(ls[ll == li])
+                lost_by_label = {
+                    li: np.unique(np.concatenate(parts))
+                    for li, parts in lost_acc.items()
+                }
+                sat_slots = _lost_slots_from_pairs(
+                    spark, base, meta7, bc_map, lost_by_label
+                )
+        if sat_slots is None:
+            sat_slots = _sharded_lost_slots(
+                spark, base, meta7,
+                lambda s, lo, hi: _read_segment(spark, resolved_path, s, lo, hi),
+                bc_map, bounds, pin_source=pin_source,
+            )
         bounds_b = bounds  # captured by value semantics via closure
 
         def tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

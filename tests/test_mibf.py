@@ -682,8 +682,10 @@ class TestStore:
             raise RuntimeError("killed mid-build")
 
         # run 1: dies between resolution and saturation — resolved is
-        # checkpointed, segments/meta are not
+        # checkpointed, segments/meta are not (both saturation routes are
+        # killed: the round-6 lost-pair fast path and the sharded rescan)
         monkeypatch.setattr(ms, "_sharded_lost_slots", boom)
+        monkeypatch.setattr(ms, "_lost_slots_from_pairs", boom)
         with pytest.raises(RuntimeError, match="killed"):
             ms.build_mibf_store(spark, labeled_corpus, path, **kw)
         monkeypatch.undo()
