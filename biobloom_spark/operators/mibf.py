@@ -341,11 +341,14 @@ def build_mibf(
     ids = np.zeros(m_slots, dtype=np.uint16)
     lost_acc: dict[int, list[np.ndarray]] = {}
     n_lost = 0
-    for r in resolved.collect():
-        s = int(r["seg"])
-        ids[bounds[s] : bounds[s + 1]] = np.frombuffer(bytes(r["ids"]), dtype=np.uint16)
-        if r["lost"]:
-            lslots, llabels = _unpack_lost(bytes(r["lost"]))
+    # toPandas: the resolved slices are ~2 B x m_slots of binary — the
+    # Arrow transfer path measured 2x faster than the pickled-row collect
+    # for this payload (tools/r06_measure notes; guide §6 Arrow transfers)
+    for r in resolved.toPandas().itertuples(index=False):
+        s = int(r.seg)
+        ids[bounds[s] : bounds[s + 1]] = np.frombuffer(bytes(r.ids), dtype=np.uint16)
+        if r.lost:
+            lslots, llabels = _unpack_lost(bytes(r.lost))
             n_lost += lslots.size
             for li in np.unique(llabels):
                 lost_acc.setdefault(int(li), []).append(lslots[llabels == li])
